@@ -1,0 +1,207 @@
+"""Typed configuration for the TPU-native Mask R-CNN framework.
+
+Mirrors the knob *semantics* of the reference's flat ``CONFIG`` dict
+(``src/common/config.py:9-179``) as a frozen dataclass so it can be closed over
+by jitted functions as a static value. Every field keeps the reference's name
+and default where one exists; fields that only made sense for the Keras/
+multiprocessing runtime (``use_multiprocessing``, ``queue_multiplier`` ...)
+are replaced by their TPU-native equivalents.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from typing import Any, Mapping, Sequence, Tuple
+
+# Default 2-class (background + balloon) dictionary, matching the reference's
+# CLASS_DICT at src/common/config.py:6.
+DEFAULT_CLASS_DICT = {"background": 0, "balloon": 1}
+
+
+def _tuplify(x):
+    if isinstance(x, (list, tuple)):
+        return tuple(_tuplify(v) for v in x)
+    return x
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskRCNNConfig:
+    """Static hyperparameters for model build, data pipeline and training.
+
+    Frozen + hashable so instances can be passed as static args to ``jax.jit``.
+    """
+
+    # ---- image geometry (reference config.py:20-34) ----
+    image_shape: Tuple[int, int, int] = (512, 512, 3)
+    image_min_dim: int = 300
+    image_min_scale: float = 0.0
+    image_max_dim: int = 512
+    image_resize_mode: str = "square"  # square | pad64 | crop | none
+
+    # ---- classes ----
+    num_classes: int = len(DEFAULT_CLASS_DICT)
+
+    # ---- normalization (reference config.py:29) ----
+    pixel_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    pixel_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+    # ---- masks (reference config.py:38-43) ----
+    use_mini_masks: bool = False
+    mini_mask_shape: Tuple[int, int] = (56, 56)
+    mask_shape: Tuple[int, int] = (28, 28)
+
+    # ---- backbone / FPN (reference config.py:22, 70-73) ----
+    backbone: str = "resnet18"
+    backbone_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+    top_down_pyramid_size: int = 256
+    backbone_init_weights: str | None = None  # None | 'imagenet' | path
+    train_bn: bool = True
+    train_bn_backbone: bool = True
+
+    # ---- anchors (reference config.py:75-84) ----
+    rpn_anchor_scales: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    rpn_anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    rpn_anchor_stride: int = 1
+
+    # ---- RPN / proposals (reference config.py:86-124) ----
+    rpn_train_anchors_per_image: int = 256
+    max_gt_instances: int = 100
+    rpn_bbox_std_dev: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
+    bbox_std_dev: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
+    rpn_nms_threshold: float = 0.7
+    use_rpn_rois: bool = True
+    random_rois: int = 0
+    pre_nms_limit: int = 6000
+    post_nms_rois_training: int = 2000
+    post_nms_rois_inference: int = 1000
+
+    # ---- detection (reference config.py:106-112) ----
+    detection_min_confidence: float = 0.7
+    detection_nms_threshold: float = 0.3
+    detection_max_instances: int = 100
+
+    # ---- ROI heads (reference config.py:126-138) ----
+    train_rois_per_image: int = 200
+    roi_positive_ratio: float = 0.33
+    pool_size: int = 7
+    mask_pool_size: int = 14
+    fpn_cls_fc_layers_size: int = 1024
+
+    # ---- losses / regularization (reference config.py:141, 152-156) ----
+    # Order: rpn_class, rpn_bbox, mrcnn_class, mrcnn_bbox, mrcnn_mask
+    loss_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0, 1.0)
+    weight_decay: float = 2e-4
+    l2_reg_batchnorm: bool = False
+
+    # ---- optimizer (reference config.py:144-149) ----
+    optimizer: str = "adamax"
+    learning_rate: float = 1e-3
+    clipvalue: float | None = 5.0
+    clipnorm: float | None = None
+
+    # ---- training loop (reference config.py:45-55) ----
+    epochs: int = 100
+    batch_size: int = 1
+    log_per_steps: int = 5
+    prefetch_size: int = 2  # device prefetch depth (replaces CPU worker queue)
+
+    # ---- callbacks-equivalent knobs (reference config.py:57-68) ----
+    checkpoints_dir: str = "logs"
+    reduce_lr_factor: float = 0.98
+    reduce_lr_patience: int = 10
+    save_best_only: bool = True
+
+    # ---- activation options (reference config.py:166-170) ----
+    resnet_leaky_relu: bool = False
+    mask_head_leaky_relu: bool = False
+    cls_head_leaky_relu: bool = False
+
+    # ---- multistage training (reference config.py:173-177) ----
+    tune_rpn_model_only: bool = False
+    frozen_backbone: bool = False
+    frozen_rpn_model: bool = False
+    frozen_mask_head: bool = False
+    frozen_cls_head: bool = False
+
+    # ---- TPU-native additions (no reference equivalent) ----
+    compute_dtype: str = "bfloat16"  # activations dtype on TPU
+    mesh_data_axis: str = "data"  # data-parallel mesh axis name
+    debug_nans: bool = False
+
+    # ------------------------------------------------------------------
+    def __post_init__(self):
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if isinstance(v, list):
+                object.__setattr__(self, f.name, _tuplify(v))
+        assert self.image_resize_mode in ("square", "pad64", "crop", "none")
+        assert len(self.rpn_anchor_scales) == len(self.backbone_strides), (
+            "one anchor scale per pyramid level"
+        )
+
+    # ---- derived quantities ----
+    @property
+    def meta_size(self) -> int:
+        """Length of the image-meta vector.
+
+        Contract (reference utils.py:494-516): ``[image_id(1), original_shape(3),
+        resized_shape(3), window(4), scale(1), active_class_ids(num_classes)]``.
+        """
+        return 1 + 3 + 3 + 4 + 1 + self.num_classes
+
+    @property
+    def num_pyramid_levels(self) -> int:
+        return len(self.backbone_strides)
+
+    @property
+    def anchors_per_location(self) -> int:
+        return len(self.rpn_anchor_ratios)
+
+    def backbone_feature_shapes(self) -> Tuple[Tuple[int, int], ...]:
+        """Spatial shape of each pyramid level (reference utils.py:725-735)."""
+        h, w = self.image_shape[0], self.image_shape[1]
+        return tuple(
+            (int((h + s - 1) // s), int((w + s - 1) // s))
+            for s in self.backbone_strides
+        )
+
+    def num_anchors(self) -> int:
+        return sum(
+            hh * ww * self.anchors_per_location
+            for hh, ww in self.backbone_feature_shapes()
+        )
+
+    def post_nms_rois(self, training: bool) -> int:
+        return self.post_nms_rois_training if training else self.post_nms_rois_inference
+
+    # ---- construction / serialization ----
+    def replace(self, **kw) -> "MaskRCNNConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "MaskRCNNConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    def md5(self) -> str:
+        """Config hash used in checkpoint names (reference training.py:114-116)."""
+        blob = json.dumps(self.to_dict(), sort_keys=True, default=str)
+        return hashlib.md5(blob.encode()).hexdigest()
+
+
+# Named preset mirroring the reference's COCO_CONFIG (samples/coco/coco.py:30-115).
+def coco_config(**overrides) -> MaskRCNNConfig:
+    base = dict(
+        num_classes=81,
+        image_shape=(512, 512, 3),
+        image_min_dim=512,
+        image_max_dim=512,
+        max_gt_instances=100,
+    )
+    base.update(overrides)
+    return MaskRCNNConfig(**base)

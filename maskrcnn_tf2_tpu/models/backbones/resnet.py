@@ -1,0 +1,235 @@
+"""ResNet-family backbones (ResNet / SE-ResNet / ResNeXt / SE-ResNeXt / SENet).
+
+Flax re-design of the reference backbone zoo
+(``src/layers/backbones/resnet_models.py``, ``senet_models.py``,
+``resnext_models.py``): one parametric residual builder covers all fifteen
+ResNet-family keys of the reference factory (``models_factory.py:10-61``).
+Instead of the reference's name-table surgery to slice feature endpoints
+(``backbone_outputs``, mrcnn_layers.py:1299-1330), every backbone returns the
+C1..C5 endpoint dict explicitly.
+
+TPU notes: NHWC layout, bfloat16 compute / float32 params+BN by default,
+grouped conv via ``feature_group_count`` (maps directly onto XLA's
+convolution, no GroupConv2D emulation as in senet_models.py:94).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+class SqueezeExcite(nn.Module):
+    """Channel SE attention (reference ChannelSE use, senet_models.py:45-143)."""
+
+    reduction: int = 16
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        s = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # [B, C]
+        s = nn.Dense(max(c // self.reduction, 1), dtype=self.dtype, name="fc1")(
+            s.astype(self.dtype)
+        )
+        s = nn.relu(s)
+        s = nn.Dense(c, dtype=self.dtype, name="fc2")(s)
+        s = nn.sigmoid(s.astype(jnp.float32)).astype(x.dtype)
+        return x * s[:, None, None, :]
+
+
+class ConvBN(nn.Module):
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    groups: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, train_bn: bool) -> Array:
+        x = nn.Conv(
+            self.features,
+            self.kernel,
+            strides=self.strides,
+            padding="SAME",
+            use_bias=False,
+            feature_group_count=self.groups,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train_bn,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        return x
+
+
+class BasicBlock(nn.Module):
+    features: int
+    strides: Tuple[int, int] = (1, 1)
+    use_se: bool = False
+    act: Callable = nn.relu
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, train_bn: bool) -> Array:
+        shortcut = x
+        y = ConvBN(self.features, (3, 3), self.strides, dtype=self.dtype, name="conv1")(
+            x, train_bn
+        )
+        y = self.act(y)
+        y = ConvBN(self.features, (3, 3), dtype=self.dtype, name="conv2")(y, train_bn)
+        if self.use_se:
+            y = SqueezeExcite(dtype=self.dtype, name="se")(y)
+        if shortcut.shape[-1] != self.features or self.strides != (1, 1):
+            shortcut = ConvBN(
+                self.features, (1, 1), self.strides, dtype=self.dtype, name="downsample"
+            )(x, train_bn)
+        return self.act(y + shortcut)
+
+
+class Bottleneck(nn.Module):
+    features: int  # output features = features * 4
+    strides: Tuple[int, int] = (1, 1)
+    groups: int = 1
+    base_width: int = 64
+    use_se: bool = False
+    act: Callable = nn.relu
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, train_bn: bool) -> Array:
+        width = int(self.features * (self.base_width / 64.0)) * self.groups
+        out_features = self.features * 4
+        shortcut = x
+        y = ConvBN(width, (1, 1), dtype=self.dtype, name="conv1")(x, train_bn)
+        y = self.act(y)
+        y = ConvBN(
+            width, (3, 3), self.strides, groups=self.groups, dtype=self.dtype, name="conv2"
+        )(y, train_bn)
+        y = self.act(y)
+        y = ConvBN(out_features, (1, 1), dtype=self.dtype, name="conv3")(y, train_bn)
+        if self.use_se:
+            y = SqueezeExcite(dtype=self.dtype, name="se")(y)
+        if shortcut.shape[-1] != out_features or self.strides != (1, 1):
+            shortcut = ConvBN(
+                out_features, (1, 1), self.strides, dtype=self.dtype, name="downsample"
+            )(x, train_bn)
+        return self.act(y + shortcut)
+
+
+class ResNet(nn.Module):
+    """Parametric ResNet family returning C1..C5 endpoints.
+
+    ``block``: 'basic' | 'bottleneck'. ``stage_sizes``: blocks per stage.
+    """
+
+    stage_sizes: Sequence[int]
+    block: str = "basic"
+    groups: int = 1
+    base_width: int = 64
+    use_se: bool = False
+    deep_stem: bool = False  # SENet154-style 3x 3x3 stem (senet_models.py:270-303)
+    stem_width: int = 64
+    leaky_relu: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, train_bn: bool = False) -> Dict[str, Array]:
+        act = (lambda v: nn.leaky_relu(v, 0.2)) if self.leaky_relu else nn.relu
+        x = x.astype(self.dtype)
+
+        if self.deep_stem:
+            x = ConvBN(self.stem_width, (3, 3), (2, 2), dtype=self.dtype, name="stem1")(
+                x, train_bn
+            )
+            x = act(x)
+            x = ConvBN(self.stem_width, (3, 3), dtype=self.dtype, name="stem2")(x, train_bn)
+            x = act(x)
+            x = ConvBN(self.stem_width * 2, (3, 3), dtype=self.dtype, name="stem3")(
+                x, train_bn
+            )
+            x = act(x)
+        else:
+            x = ConvBN(self.stem_width, (7, 7), (2, 2), dtype=self.dtype, name="stem")(
+                x, train_bn
+            )
+            x = act(x)
+        c1 = x  # stride 2
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+
+        endpoints = {"C1": c1}
+        features = 64
+        for stage_idx, num_blocks in enumerate(self.stage_sizes):
+            for block_idx in range(num_blocks):
+                strides = (2, 2) if (block_idx == 0 and stage_idx > 0) else (1, 1)
+                name = f"stage{stage_idx + 1}_block{block_idx + 1}"
+                if self.block == "basic":
+                    x = BasicBlock(
+                        features,
+                        strides,
+                        use_se=self.use_se,
+                        act=act,
+                        dtype=self.dtype,
+                        name=name,
+                    )(x, train_bn)
+                else:
+                    x = Bottleneck(
+                        features,
+                        strides,
+                        groups=self.groups,
+                        base_width=self.base_width,
+                        use_se=self.use_se,
+                        act=act,
+                        dtype=self.dtype,
+                        name=name,
+                    )(x, train_bn)
+            endpoints[f"C{stage_idx + 2}"] = x
+            features *= 2
+        return endpoints
+
+
+# name -> constructor kwargs; covers all 15 ResNet-family reference keys
+RESNET_VARIANTS = {
+    "resnet18": dict(stage_sizes=(2, 2, 2, 2), block="basic"),
+    "resnet34": dict(stage_sizes=(3, 4, 6, 3), block="basic"),
+    "resnet50": dict(stage_sizes=(3, 4, 6, 3), block="bottleneck"),
+    "resnet101": dict(stage_sizes=(3, 4, 23, 3), block="bottleneck"),
+    "resnet152": dict(stage_sizes=(3, 8, 36, 3), block="bottleneck"),
+    "seresnet18": dict(stage_sizes=(2, 2, 2, 2), block="basic", use_se=True),
+    "seresnet34": dict(stage_sizes=(3, 4, 6, 3), block="basic", use_se=True),
+    "seresnet50": dict(stage_sizes=(3, 4, 6, 3), block="bottleneck", use_se=True),
+    "seresnet101": dict(stage_sizes=(3, 4, 23, 3), block="bottleneck", use_se=True),
+    "seresnet152": dict(stage_sizes=(3, 8, 36, 3), block="bottleneck", use_se=True),
+    "resnext50": dict(
+        stage_sizes=(3, 4, 6, 3), block="bottleneck", groups=32, base_width=4
+    ),
+    "resnext101": dict(
+        stage_sizes=(3, 4, 23, 3), block="bottleneck", groups=32, base_width=4
+    ),
+    "seresnext50": dict(
+        stage_sizes=(3, 4, 6, 3), block="bottleneck", groups=32, base_width=4, use_se=True
+    ),
+    "seresnext101": dict(
+        stage_sizes=(3, 4, 23, 3),
+        block="bottleneck",
+        groups=32,
+        base_width=4,
+        use_se=True,
+    ),
+    "senet154": dict(
+        stage_sizes=(3, 8, 36, 3),
+        block="bottleneck",
+        groups=64,
+        base_width=4,
+        use_se=True,
+        deep_stem=True,
+    ),
+}

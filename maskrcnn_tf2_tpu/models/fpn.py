@@ -1,0 +1,51 @@
+"""Feature Pyramid Network top-down pathway.
+
+Re-design of the reference ``UpSamplingLayer``/``upsampling_graph``
+(mrcnn_layers.py:48-101, 1010-1049): 1x1 lateral convs on C2..C5, 2x nearest
+upsampling + add, 3x3 output convs, and P6 = stride-2 maxpool of P5.
+Returns ``rpn_features = [P2..P6]`` and ``mrcnn_features = [P2..P5]``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def _upsample2x_nearest(x: Array) -> Array:
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+class FPN(nn.Module):
+    out_channels: int = 256
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, endpoints: Dict[str, Array]) -> Tuple[List[Array], List[Array]]:
+        d = self.dtype
+        c2, c3, c4, c5 = (endpoints[k].astype(d) for k in ("C2", "C3", "C4", "C5"))
+
+        lat = lambda name: nn.Conv(self.out_channels, (1, 1), dtype=d, name=name)
+        out = lambda name: nn.Conv(
+            self.out_channels, (3, 3), padding="SAME", dtype=d, name=name
+        )
+
+        p5 = lat("fpn_c5p5")(c5)
+        p4 = lat("fpn_c4p4")(c4) + _upsample2x_nearest(p5)
+        p3 = lat("fpn_c3p3")(c3) + _upsample2x_nearest(p4)
+        p2 = lat("fpn_c2p2")(c2) + _upsample2x_nearest(p3)
+
+        p2 = out("fpn_p2")(p2)
+        p3 = out("fpn_p3")(p3)
+        p4 = out("fpn_p4")(p4)
+        p5 = out("fpn_p5")(p5)
+        p6 = nn.max_pool(p5, (1, 1), strides=(2, 2), padding="VALID")
+
+        return [p2, p3, p4, p5, p6], [p2, p3, p4, p5]

@@ -1,0 +1,75 @@
+"""Proposal generation: top-k scored anchors -> delta decode -> clip -> NMS.
+
+Fixed-shape replacement for the reference ``ProposalLayer``
+(mrcnn_layers.py:203-280), whose per-image python loop (``utils.batch_slice``,
+utils.py:738-772) becomes ``jax.vmap`` here; its ``tf.nn.top_k`` +
+``tf.image.non_max_suppression`` become static top-k + the fixed-shape greedy
+NMS in ``ops.nms`` (or the Pallas kernel when enabled). This is also the
+TPU-native equivalent of NVIDIA's C++ ``ProposalLayer_TRT`` plugin
+(inference_optimize.py:124-164).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from maskrcnn_tf2_tpu.ops.boxes import apply_box_deltas, clip_boxes
+from maskrcnn_tf2_tpu.ops.nms import nms_padded_boxes
+
+
+def _proposals_one_image(
+    scores: jnp.ndarray,  # [A] foreground prob
+    deltas: jnp.ndarray,  # [A, 4] (already std-scaled)
+    anchors: jnp.ndarray,  # [A, 4] normalized
+    pre_nms_limit: int,
+    proposal_count: int,
+    nms_threshold: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    pre = min(pre_nms_limit, scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(scores, pre)
+    top_deltas = jnp.take(deltas, top_idx, axis=0)
+    top_anchors = jnp.take(anchors, top_idx, axis=0)
+
+    boxes = apply_box_deltas(top_anchors, top_deltas)
+    boxes = clip_boxes(boxes, jnp.array([0.0, 0.0, 1.0, 1.0], boxes.dtype))
+
+    out_boxes, _, out_valid = nms_padded_boxes(
+        boxes, top_scores, proposal_count, nms_threshold
+    )
+    return out_boxes, out_valid
+
+
+@partial(
+    jax.jit,
+    static_argnames=("pre_nms_limit", "proposal_count", "nms_threshold"),
+)
+def generate_proposals(
+    rpn_probs: jnp.ndarray,  # [B, A, 2] (bg, fg) softmax
+    rpn_deltas: jnp.ndarray,  # [B, A, 4]
+    anchors: jnp.ndarray,  # [A, 4] normalized
+    rpn_bbox_std: Tuple[float, ...],
+    pre_nms_limit: int,
+    proposal_count: int,
+    nms_threshold: float,
+):
+    """Batched proposals.
+
+    Returns ``(proposals [B, proposal_count, 4] normalized zero-padded,
+    valid [B, proposal_count] bool)`` — the reference pads with zeros and has
+    no validity mask; downstream consumers here get the mask for free.
+    """
+    scores = rpn_probs[..., 1].astype(jnp.float32)
+    deltas = rpn_deltas.astype(jnp.float32) * jnp.asarray(
+        rpn_bbox_std, jnp.float32
+    )
+    fn = partial(
+        _proposals_one_image,
+        pre_nms_limit=pre_nms_limit,
+        proposal_count=proposal_count,
+        nms_threshold=nms_threshold,
+    )
+    return jax.vmap(fn, in_axes=(0, 0, None))(scores, deltas, anchors)

@@ -1,0 +1,170 @@
+"""Pyramid ROIAlign as a single fused gather over a flattened FPN pyramid.
+
+The reference's ``PyramidROIAlign`` (mrcnn_layers.py:554-671) loops over the
+four FPN levels, calls ``tf.image.crop_and_resize`` per level, then re-sorts
+pooled boxes back into the original order with a merged ``batch*100000+box``
+sort key; its deploy path replaces this with NVIDIA's C++
+``PyramidROIAlign_TRT`` plugin. The TPU-native design avoids both the
+per-level loop and the re-sort:
+
+1. All levels ``P2..P5`` are flattened and concatenated into one
+   ``[B, sum(Hl*Wl), C]`` buffer with static per-level offsets.
+2. Each ROI's FPN level is computed with the reference's formula
+   ``4 + round(log2(sqrt(h*w) / (denominator / sqrt(image_area))))`` clipped
+   to [2, 5] (mrcnn_layers.py:596-607; ``denominator`` defaults to the
+   reference's 244.0 — its documented typo-for-224 kept for parity).
+3. ``tf.image.crop_and_resize`` bilinear semantics (sample grid with endpoints
+   on box corners scaled by ``(H_level - 1, W_level - 1)``) reduce to 4 gather
+   indices + weights per sample point, all computed vectorized; one
+   ``take_along_axis`` gathers every (roi, point, corner) at once.
+
+Result: one big gather + one weighted sum — no per-level control flow, no
+dynamic shapes, identical output ordering to the input ROIs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def roi_level_assignment(
+    boxes: jnp.ndarray,
+    image_area: float,
+    num_levels: int = 4,
+    denominator: float = 244.0,
+) -> jnp.ndarray:
+    """FPN level index (0-based into P2..P5) per ROI.
+
+    Matches reference mrcnn_layers.py:596-607: level = 4 + round(log2(
+    sqrt(h*w)/(denominator/sqrt(image_area)))), clipped to [2, 5]; returned
+    here shifted to [0, num_levels-1]. Zero-area (padding) boxes map to 0.
+    """
+    h = boxes[..., 2] - boxes[..., 0]
+    w = boxes[..., 3] - boxes[..., 1]
+    scale = jnp.sqrt(jnp.maximum(h * w, 1e-12))
+    image_scale = denominator / jnp.sqrt(jnp.asarray(image_area, boxes.dtype))
+    # jnp.round = round-half-to-even, matching tf.round in the reference.
+    lvl = jnp.round(jnp.log2(scale / image_scale)).astype(jnp.int32) + 4
+    lvl = jnp.clip(lvl, 2, 2 + num_levels - 1) - 2
+    valid = (h > 0) & (w > 0)
+    return jnp.where(valid, lvl, 0)
+
+
+def _flatten_pyramid(features: Sequence[jnp.ndarray]):
+    """Concat per-level [B, Hl, Wl, C] maps into [B, S, C] + static metadata."""
+    b = features[0].shape[0]
+    c = features[0].shape[-1]
+    flats, offsets, heights, widths = [], [], [], []
+    off = 0
+    for f in features:
+        _, h, w, _ = f.shape
+        flats.append(f.reshape(b, h * w, c))
+        offsets.append(off)
+        heights.append(h)
+        widths.append(w)
+        off += h * w
+    flat = jnp.concatenate(flats, axis=1)
+    return (
+        flat,
+        jnp.asarray(offsets, jnp.int32),
+        jnp.asarray(heights, jnp.int32),
+        jnp.asarray(widths, jnp.int32),
+    )
+
+
+def pyramid_roi_align(
+    features: Sequence[jnp.ndarray],
+    boxes: jnp.ndarray,
+    pool_size: int,
+    image_shape: Sequence[int],
+    denominator: float = 244.0,
+) -> jnp.ndarray:
+    """Crop-and-resize each ROI from its assigned FPN level.
+
+    Args:
+      features: list of ``[B, Hl, Wl, C]`` maps, finest first (P2..P5).
+      boxes: ``[B, N, 4]`` normalized (y1, x1, y2, x2). Gradients do not flow
+        into the boxes (reference applies stop_gradient on crop boxes,
+        mrcnn_layers.py:617-641).
+      pool_size: output spatial size P.
+      image_shape: (H, W, ...) of the input image for the level formula.
+
+    Returns:
+      ``[B, N, P, P, C]`` pooled features in the original ROI order.
+    """
+    boxes = jax.lax.stop_gradient(boxes)
+    num_levels = len(features)
+    b, n, _ = boxes.shape
+    p = pool_size
+    compute_dtype = features[0].dtype
+
+    flat, offsets, heights, widths = _flatten_pyramid(features)
+
+    image_area = float(image_shape[0]) * float(image_shape[1])
+    levels = roi_level_assignment(
+        boxes.astype(jnp.float32), image_area, num_levels, denominator
+    )  # [B, N]
+
+    # Per-ROI level geometry.
+    lvl_h = jnp.take(heights, levels)  # [B, N]
+    lvl_w = jnp.take(widths, levels)
+    lvl_off = jnp.take(offsets, levels)
+
+    y1, x1, y2, x2 = (boxes.astype(jnp.float32)[..., i] for i in range(4))
+    # crop_and_resize sample grid: endpoints at box corners, scaled by (dim-1).
+    hm1 = (lvl_h - 1).astype(jnp.float32)[..., None]  # [B, N, 1]
+    wm1 = (lvl_w - 1).astype(jnp.float32)[..., None]
+    if p > 1:
+        frac = jnp.arange(p, dtype=jnp.float32) / (p - 1)  # [P]
+        ys = (y1[..., None] + (y2 - y1)[..., None] * frac) * hm1  # [B, N, P]
+        xs = (x1[..., None] + (x2 - x1)[..., None] * frac) * wm1
+    else:
+        ys = (0.5 * (y1 + y2))[..., None] * hm1
+        xs = (0.5 * (x1 + x2))[..., None] * wm1
+
+    # Bilinear corners and weights (boxes are pre-clipped to [0,1], so clamp
+    # to the valid grid rather than zero-extrapolate).
+    def corners(coord, size):
+        c0 = jnp.clip(jnp.floor(coord), 0, (size - 1).astype(jnp.float32)[..., None])
+        c1 = jnp.clip(c0 + 1, 0, (size - 1).astype(jnp.float32)[..., None])
+        t = jnp.clip(coord - c0, 0.0, 1.0)
+        return c0.astype(jnp.int32), c1.astype(jnp.int32), t
+
+    y0, y1i, ty = corners(ys, lvl_h)  # [B, N, P]
+    x0, x1i, tx = corners(xs, lvl_w)
+
+    # Linear indices into the flattened pyramid for the 4 corners of each
+    # (roi, grid_y, grid_x) sample: idx = off + y * W_level + x.
+    off = lvl_off[..., None, None]  # [B, N, 1, 1]
+    wl = lvl_w[..., None, None]
+    yy0 = y0[..., :, None] * wl  # [B, N, P, 1]
+    yy1 = y1i[..., :, None] * wl
+    xx0 = x0[..., None, :]  # [B, N, 1, P]
+    xx1 = x1i[..., None, :]
+
+    idx = jnp.stack(
+        [off + yy0 + xx0, off + yy0 + xx1, off + yy1 + xx0, off + yy1 + xx1],
+        axis=-1,
+    )  # [B, N, P, P, 4]
+
+    wy1 = ty[..., :, None]  # weight toward y1 corner
+    wx1 = tx[..., None, :]
+    weights = jnp.stack(
+        [
+            (1.0 - wy1) * (1.0 - wx1),
+            (1.0 - wy1) * wx1,
+            wy1 * (1.0 - wx1),
+            wy1 * wx1,
+        ],
+        axis=-1,
+    )  # [B, N, P, P, 4]
+
+    gathered = jnp.take_along_axis(
+        flat, idx.reshape(b, -1)[..., None], axis=1
+    )  # [B, N*P*P*4, C]
+    gathered = gathered.reshape(b, n, p, p, 4, -1)
+    out = jnp.sum(gathered * weights[..., None].astype(compute_dtype), axis=-2)
+    return out

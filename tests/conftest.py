@@ -1,0 +1,23 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+Must set the env vars before jax is first imported anywhere — the TPU-native
+multi-device code paths (shard_map over a Mesh) are exercised on CPU exactly
+as the driver's dryrun does.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
