@@ -1,0 +1,107 @@
+"""ROI heads: FPN classifier (class + box) and mask head.
+
+Re-design of the reference heads (``FPNClassifier``/``fpn_classifier_graph``
+mrcnn_layers.py:675-737/1124-1198 and ``FPNMaskLayer``/``fpn_mask_graph``
+:741-819/1201-1267). The reference materializes each head twice (Keras Layer
++ functional twin) and again per train/inference graph; here each is ONE Flax
+module whose ``train_bn`` switch covers all four reference copies.
+
+TimeDistributed disappears: ROIs are folded into the batch axis
+(``[B, N, P, P, C] -> [B*N, P, P, C]``) so every conv runs as one large
+batched MXU matmul instead of N small ones.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def _bn(name, train_bn, dtype):
+    return nn.BatchNorm(
+        use_running_average=not train_bn,
+        momentum=0.9,
+        epsilon=1e-5,
+        dtype=dtype,
+        name=name,
+    )
+
+
+class FPNClassifierHead(nn.Module):
+    """ROIAlign(pool)ed features -> class logits/probs + per-class box deltas.
+
+    Structure (reference mrcnn_layers.py:1124-1198): PxP conv acting as FC
+    (1024) + BN + act, 1x1 conv (1024) + BN + act, then Dense heads.
+    """
+
+    num_classes: int
+    pool_size: int = 7
+    fc_size: int = 1024
+    leaky_relu: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, roi_features: Array, train_bn: bool = False):
+        d = self.dtype
+        act: Callable = (lambda v: nn.leaky_relu(v, 0.2)) if self.leaky_relu else nn.relu
+        b, n, p, _, c = roi_features.shape
+        x = roi_features.reshape(b * n, p, p, c).astype(d)
+
+        # "FC" realized as a VALID PxP conv -> [B*N, 1, 1, fc]
+        x = nn.Conv(
+            self.fc_size, (p, p), padding="VALID", dtype=d, name="mrcnn_class_conv1"
+        )(x)
+        x = _bn("mrcnn_class_bn1", train_bn, d)(x)
+        x = act(x)
+        x = nn.Conv(self.fc_size, (1, 1), dtype=d, name="mrcnn_class_conv2")(x)
+        x = _bn("mrcnn_class_bn2", train_bn, d)(x)
+        x = act(x)
+        shared = x.reshape(b * n, self.fc_size)
+
+        logits = nn.Dense(self.num_classes, dtype=d, name="mrcnn_class_logits")(shared)
+        logits = logits.reshape(b, n, self.num_classes).astype(jnp.float32)
+        probs = nn.softmax(logits, axis=-1)
+
+        deltas = nn.Dense(self.num_classes * 4, dtype=d, name="mrcnn_bbox_fc")(shared)
+        deltas = deltas.reshape(b, n, self.num_classes, 4).astype(jnp.float32)
+        return logits, probs, deltas
+
+
+class FPNMaskHead(nn.Module):
+    """ROIAlign(mask_pool)ed features -> per-class sigmoid masks [B,N,2P,2P,C].
+
+    Structure (reference mrcnn_layers.py:1201-1267): 4x [3x3 conv(256) + BN +
+    act], 2x2 stride-2 transpose conv, 1x1 conv to num_classes + sigmoid.
+    """
+
+    num_classes: int
+    conv_channels: int = 256
+    leaky_relu: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, roi_features: Array, train_bn: bool = False) -> Array:
+        d = self.dtype
+        act: Callable = (lambda v: nn.leaky_relu(v, 0.2)) if self.leaky_relu else nn.relu
+        b, n, p, _, c = roi_features.shape
+        x = roi_features.reshape(b * n, p, p, c).astype(d)
+
+        for i in range(1, 5):
+            x = nn.Conv(
+                self.conv_channels, (3, 3), padding="SAME", dtype=d,
+                name=f"mrcnn_mask_conv{i}",
+            )(x)
+            x = _bn(f"mrcnn_mask_bn{i}", train_bn, d)(x)
+            x = act(x)
+
+        x = nn.ConvTranspose(
+            self.conv_channels, (2, 2), strides=(2, 2), dtype=d, name="mrcnn_mask_deconv"
+        )(x)
+        x = act(x)
+        x = nn.Conv(self.num_classes, (1, 1), dtype=d, name="mrcnn_mask")(x)
+        x = nn.sigmoid(x.astype(jnp.float32))
+        return x.reshape(b, n, 2 * p, 2 * p, self.num_classes)

@@ -1,0 +1,192 @@
+"""Jitted train/eval steps, single-chip and data-parallel (shard_map).
+
+TPU-native replacement for the reference's **eager** Keras custom train loop
+(``MaskRCNN.train_step``, model.py:137-180, compiled with
+``run_eagerly=True`` at training.py:98): here the whole step — device-side
+RPN target building, forward, 5 losses + L2, backward, optimizer update,
+non-finite-guard — is one XLA program. Data parallelism is
+``shard_map`` over the ``data`` mesh axis with a gradient ``psum``
+(SURVEY §2.15: the reference has no distributed backend at all).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from maskrcnn_tf2_tpu.config import MaskRCNNConfig
+from maskrcnn_tf2_tpu.losses import compute_losses, l2_reg_loss
+from maskrcnn_tf2_tpu.models import MaskRCNN
+from maskrcnn_tf2_tpu.ops.anchors import get_anchors
+from maskrcnn_tf2_tpu.ops.image import parse_image_meta
+from maskrcnn_tf2_tpu.ops.targets import rpn_targets
+from maskrcnn_tf2_tpu.train.optimizer import build_optimizer
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(config: MaskRCNNConfig, rng) -> TrainState:
+    """Initialize model params + optimizer state."""
+    model = MaskRCNN(config)
+    h, w, c = config.image_shape
+    dummy_images = jnp.zeros((1, h, w, c), jnp.float32)
+    dummy_meta = jnp.zeros((1, config.meta_size), jnp.float32)
+    g = config.max_gt_instances
+    mh, mw = (
+        config.mini_mask_shape if config.use_mini_masks else (h, w)
+    )
+    variables = jax.jit(
+        lambda r: model.init(
+            {"params": r, "sampling": jax.random.fold_in(r, 1)},
+            dummy_images,
+            dummy_meta,
+            jnp.zeros((1, g), jnp.int32),
+            jnp.zeros((1, g, 4), jnp.float32),
+            jnp.zeros((1, g, mh, mw), jnp.float32),
+            train=True,
+        )
+    )(rng)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = build_optimizer(config)
+    opt_state = tx.init(params)
+    return TrainState(jnp.zeros((), jnp.int32), params, batch_stats, opt_state)
+
+
+def _loss_and_updates(
+    params,
+    batch_stats,
+    batch: Dict[str, jnp.ndarray],
+    rng,
+    config: MaskRCNNConfig,
+    anchors: jnp.ndarray,
+):
+    model = MaskRCNN(config)
+    rng_sample, rng_rpn = jax.random.split(rng)
+    b = batch["images"].shape[0]
+
+    # Device-side RPN targets (the reference's CPU build_rpn_targets hot loop).
+    rpn_tgt = jax.vmap(
+        lambda r, ci, bx: rpn_targets(
+            r,
+            anchors,
+            ci,
+            bx,
+            config.rpn_train_anchors_per_image,
+            config.rpn_bbox_std_dev,
+        ),
+        in_axes=(0, 0, 0),
+    )(jax.random.split(rng_rpn, b), batch["gt_class_ids"], batch["gt_boxes"])
+
+    outputs, mutated = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        batch["images"],
+        batch["image_meta"],
+        batch["gt_class_ids"],
+        batch["gt_boxes"],
+        batch["gt_masks"],
+        train=True,
+        rngs={"sampling": rng_sample},
+        mutable=["batch_stats"],
+    )
+    active = parse_image_meta(batch["image_meta"])["active_class_ids"]
+    total, losses = compute_losses(
+        outputs, rpn_tgt.match, rpn_tgt.deltas, active, config
+    )
+    l2 = l2_reg_loss(params, config.weight_decay, config.l2_reg_batchnorm)
+    losses["l2_loss"] = l2
+    total = total + l2
+    return total, (losses, mutated.get("batch_stats", batch_stats))
+
+
+def make_train_step(config: MaskRCNNConfig, axis_name: str | None = None):
+    """Build the fused train step. If ``axis_name`` is set, gradients and
+    metrics are psum-averaged over that mesh axis (call under shard_map)."""
+    tx = build_optimizer(config)
+    anchors_np = get_anchors(config)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        if axis_name is not None:
+            # Decorrelate sampling RNG across data-parallel shards.
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        anchors = jnp.asarray(anchors_np)
+        grad_fn = jax.value_and_grad(_loss_and_updates, has_aux=True)
+        (total, (losses, new_batch_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng, config, anchors
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            losses = jax.lax.pmean(losses, axis_name)
+            new_batch_stats = jax.lax.pmean(new_batch_stats, axis_name)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+
+        # Non-finite guard: skip the whole update if the loss exploded
+        # (reference check_loss_nan raises, model.py:64-84; we skip instead).
+        ok = jnp.isfinite(total)
+        pick = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(ok, a, b), new, old
+        )
+        new_state = TrainState(
+            step=state.step + 1,
+            params=pick(new_params, state.params),
+            batch_stats=pick(new_batch_stats, state.batch_stats),
+            opt_state=pick(new_opt_state, state.opt_state),
+        )
+        losses["grad_finite"] = ok.astype(jnp.float32)
+        return new_state, losses
+
+    return train_step
+
+
+def make_eval_step(config: MaskRCNNConfig):
+    """Validation loss step (reference test_step, model.py:182-217 — same
+    losses, no L2, no update)."""
+    anchors_np = get_anchors(config)
+
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        anchors = jnp.asarray(anchors_np)
+        _, (losses, _) = _loss_and_updates(
+            state.params, state.batch_stats, batch, rng, config, anchors
+        )
+        del losses["l2_loss"]
+        return losses
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel wiring
+# ---------------------------------------------------------------------------
+
+def make_data_parallel_train_step(config: MaskRCNNConfig, mesh: Mesh):
+    """shard_map'd train step: batch sharded over the ``data`` axis, state
+    replicated, gradient all-reduce over ICI."""
+    axis = config.mesh_data_axis
+    step_fn = make_train_step(config, axis_name=axis)
+
+    from jax.experimental.shard_map import shard_map
+
+    state_spec = P()  # replicated
+    batch_spec = P(axis)  # shard leading batch dim
+    rng_spec = P()
+
+    sharded = shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(state_spec, batch_spec, rng_spec),
+        out_specs=(state_spec, state_spec),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
