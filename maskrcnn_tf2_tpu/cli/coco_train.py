@@ -1,0 +1,80 @@
+"""COCO training CLI — mirrors the reference's ``coco_train.py`` /
+``coco_minitrain.py`` argparse schema (samples/coco/coco.py:524-563).
+
+Usage:
+  python -m maskrcnn_tf2_tpu.cli.coco_train -backbone=resnet50 -epochs=50 \
+      -batch_size=8 -dataset_path=/data/coco [--minitrain] [--img_size=512]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from maskrcnn_tf2_tpu.config import coco_config
+from maskrcnn_tf2_tpu.data.augment import get_training_augmentation
+from maskrcnn_tf2_tpu.data.coco import CocoDataset
+from maskrcnn_tf2_tpu.train.loop import train_model
+
+MINITRAIN_CLASSES = ["person", "bicycle", "car", "motorcycle"]
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-backbone", "--backbone", default="resnet50")
+    p.add_argument("-epochs", "--epochs", type=int, default=50)
+    p.add_argument("-batch_size", "--batch_size", type=int, default=8)
+    p.add_argument("-dataset_path", "--dataset_path", required=True)
+    p.add_argument("-img_size", "--img_size", type=int, default=512)
+    p.add_argument("-lr", "--learning_rate", type=float, default=1e-3)
+    p.add_argument("-optimizer", "--optimizer", default="adamax")
+    p.add_argument("--year", default="2017")
+    p.add_argument("--minitrain", action="store_true",
+                   help="4-class subset (person/bicycle/car/motorcycle)")
+    p.add_argument("--n_train", type=int, default=None)
+    p.add_argument("--n_val", type=int, default=None)
+    p.add_argument("--mini_masks", action="store_true")
+    p.add_argument("--checkpoints_dir", default="logs")
+    p.add_argument("--no_augment", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    class_names = MINITRAIN_CLASSES if args.minitrain else None
+    num_classes = (1 + len(class_names)) if class_names else 81
+
+    cfg = coco_config(
+        backbone=args.backbone,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        num_classes=num_classes,
+        image_shape=(args.img_size, args.img_size, 3),
+        image_min_dim=args.img_size,
+        image_max_dim=args.img_size,
+        learning_rate=args.learning_rate,
+        optimizer=args.optimizer,
+        use_mini_masks=args.mini_masks,
+        checkpoints_dir=args.checkpoints_dir,
+    )
+
+    train_ds = CocoDataset()
+    train_ds.load_coco(
+        args.dataset_path, "train", args.year,
+        class_names=class_names, max_images=args.n_train,
+    )
+    train_ds.prepare()
+    val_ds = CocoDataset()
+    val_ds.load_coco(
+        args.dataset_path, "val", args.year,
+        class_names=class_names, max_images=args.n_val,
+    )
+    val_ds.prepare()
+    print(f"train: {len(train_ds)} images, val: {len(val_ds)} images, "
+          f"{cfg.num_classes} classes, backbone={cfg.backbone}")
+
+    augment = None if args.no_augment else get_training_augmentation()
+    train_model(cfg, train_ds, val_ds, augment_fn=augment)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Batching data loader with background prefetch.
+
+Replaces the reference's Keras-``Sequence`` ``DataLoader`` + multiprocessing
+worker queue (preprocess.py:272-475, training.py:46-79). The expensive parts
+of the reference's CPU pipeline (normalization, RPN-target matching) run on
+device in this framework, so the host loop is only decode + resize + pad; a
+single background thread double-buffers batches ahead of the training step
+(host->HBM transfer overlaps compute via ``prefetch_to_device``).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from maskrcnn_tf2_tpu.config import MaskRCNNConfig
+from maskrcnn_tf2_tpu.data.dataset import SegmentationDataset, load_image_gt
+
+
+class DataLoader:
+    """Iterates fixed-shape numpy batches.
+
+    Batch dict: images [B,H,W,3] float32 (raw 0..255), image_meta [B,M],
+    gt_class_ids [B,G], gt_boxes [B,G,4] (normalized), gt_masks [B,G,mh,mw]
+    float32. Instance-less images are skipped (reference preprocess.py:337-339);
+    steps_per_epoch = floor(n / batch) (reference preprocess.py:461-466).
+    """
+
+    def __init__(
+        self,
+        dataset: SegmentationDataset,
+        config: MaskRCNNConfig,
+        shuffle: bool = True,
+        augment_fn=None,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.config = config
+        self.shuffle = shuffle
+        self.augment_fn = augment_fn
+        self._rng = np.random.RandomState(seed)
+        self.batch_size = config.batch_size
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return len(self.dataset) // self.batch_size
+
+    def _sample(self, idx: int) -> Optional[Dict[str, np.ndarray]]:
+        return load_image_gt(self.dataset, self.config, idx, self.augment_fn)
+
+    def epoch(self) -> Iterator[Dict[str, np.ndarray]]:
+        """One epoch of batches."""
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        buf = []
+        for idx in order:
+            sample = self._sample(int(idx))
+            if sample is None:
+                continue
+            buf.append(sample)
+            if len(buf) == self.batch_size:
+                yield self._collate(buf)
+                buf = []
+
+    def __iter__(self):
+        """Endless stream (reference wraps the generator in .repeat())."""
+        while True:
+            yield from self.epoch()
+
+    def _collate(self, samples) -> Dict[str, np.ndarray]:
+        return {
+            "images": np.stack([s["image"] for s in samples]).astype(np.float32),
+            "image_meta": np.stack([s["image_meta"] for s in samples]),
+            "gt_class_ids": np.stack([s["gt_class_ids"] for s in samples]),
+            "gt_boxes": np.stack([s["gt_boxes"] for s in samples]),
+            "gt_masks": np.stack([s["gt_masks"] for s in samples]).astype(
+                np.float32
+            ),
+        }
+
+
+def prefetch(iterator, size: int = 2):
+    """Run ``iterator`` in a background thread with a bounded queue."""
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Prefetch + async host->device transfer (double buffering into HBM)."""
+    import jax
+
+    def put(batch):
+        if sharding is not None:
+            return jax.tree.map(
+                lambda x: jax.device_put(x, sharding), batch
+            )
+        return jax.tree.map(jax.device_put, batch)
+
+    return prefetch(map(put, iterator), size=size)

@@ -77,6 +77,11 @@ class MaskRCNN(nn.Module):
         cfg = self.config
         train_bn_backbone = train and cfg.train_bn and cfg.train_bn_backbone
         train_bn = train and cfg.train_bn
+        # Fused on-device normalization (host pipeline ships raw 0..255;
+        # replaces the reference's albumentations Normalize on CPU).
+        from maskrcnn_tf2_tpu.ops.image import normalize_image
+
+        images = normalize_image(images, cfg.pixel_mean, cfg.pixel_std)
         endpoints = self.backbone(images, train_bn=train_bn_backbone)
         if cfg.frozen_backbone:
             endpoints = jax.tree.map(jax.lax.stop_gradient, endpoints)

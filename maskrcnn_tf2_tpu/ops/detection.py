@@ -43,6 +43,8 @@ def _refine_one_image(
     scores = probs[idx, class_ids]
     class_deltas = deltas[idx, class_ids] * jnp.asarray(bbox_std, jnp.float32)
 
+    # Clamp before exp (see ops.proposal._DELTA_CLIP).
+    class_deltas = jnp.clip(class_deltas, -4.135166556742356, 4.135166556742356)
     refined = apply_box_deltas(rois, class_deltas)
     refined = clip_boxes(refined, window)
 

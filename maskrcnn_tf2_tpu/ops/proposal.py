@@ -20,6 +20,10 @@ import jax.numpy as jnp
 from maskrcnn_tf2_tpu.ops.boxes import apply_box_deltas, clip_boxes
 from maskrcnn_tf2_tpu.ops.nms import nms_padded_boxes
 
+# Clamp log-size deltas before exp so an untrained/exploding RPN cannot
+# produce inf boxes (standard detectron BBOX_XFORM_CLIP = log(1000/16)).
+_DELTA_CLIP = 4.135166556742356
+
 
 def _proposals_one_image(
     scores: jnp.ndarray,  # [A] foreground prob
@@ -34,6 +38,7 @@ def _proposals_one_image(
     top_deltas = jnp.take(deltas, top_idx, axis=0)
     top_anchors = jnp.take(anchors, top_idx, axis=0)
 
+    top_deltas = jnp.clip(top_deltas, -_DELTA_CLIP, _DELTA_CLIP)
     boxes = apply_box_deltas(top_anchors, top_deltas)
     boxes = clip_boxes(boxes, jnp.array([0.0, 0.0, 1.0, 1.0], boxes.dtype))
 

@@ -1,0 +1,61 @@
+"""Orbax checkpointing.
+
+Replaces Keras ModelCheckpoint weights-only best-only saving + filename-
+parsed resume (reference training.py:105-125): one param/batch_stats/opt
+pytree per checkpoint, step tracked in metadata, async-capable. Checkpoint
+directory names embed backbone + config md5 like the reference's
+``cp-{epoch}-{backbone}-{md5}`` convention.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from maskrcnn_tf2_tpu.config import MaskRCNNConfig
+from maskrcnn_tf2_tpu.train.train_step import TrainState
+
+
+def checkpoint_dir(config: MaskRCNNConfig, base: Optional[str] = None) -> str:
+    base = base or config.checkpoints_dir
+    return os.path.abspath(
+        os.path.join(base, f"maskrcnn_{config.backbone}_{config.md5()[:8]}")
+    )
+
+
+def make_manager(config: MaskRCNNConfig, base: Optional[str] = None, max_to_keep: int = 3):
+    path = checkpoint_dir(config, base)
+    os.makedirs(path, exist_ok=True)
+    options = ocp.CheckpointManagerOptions(
+        max_to_keep=max_to_keep,
+        best_fn=(lambda metrics: metrics.get("val_loss_sum", metrics.get("loss_sum", 0.0)))
+        if config.save_best_only
+        else None,
+        best_mode="min" if config.save_best_only else "max",
+    )
+    return ocp.CheckpointManager(path, options=options)
+
+
+def save(manager, state: TrainState, epoch: int, metrics: dict):
+    manager.save(
+        epoch,
+        args=ocp.args.StandardSave(state._asdict()),
+        metrics={k: float(v) for k, v in metrics.items()},
+    )
+
+
+def restore(manager, state: TrainState, step: Optional[int] = None) -> Tuple[TrainState, int]:
+    """Restore latest (or given) checkpoint into the state template.
+
+    Returns (state, start_epoch). With no checkpoint returns (state, 0).
+    """
+    target = step if step is not None else manager.latest_step()
+    if target is None:
+        return state, 0
+    restored = manager.restore(
+        target, args=ocp.args.StandardRestore(state._asdict())
+    )
+    return TrainState(**restored), int(target) + 1

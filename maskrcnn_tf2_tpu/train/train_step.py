@@ -132,9 +132,15 @@ def make_train_step(config: MaskRCNNConfig, axis_name: str | None = None):
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
 
-        # Non-finite guard: skip the whole update if the loss exploded
-        # (reference check_loss_nan raises, model.py:64-84; we skip instead).
-        ok = jnp.isfinite(total)
+        # Non-finite guard: skip the whole update if the loss OR any update is
+        # non-finite (reference check_loss_nan raises, model.py:64-84; a NaN
+        # gradient with finite loss is possible, so both are checked).
+        updates_finite = jnp.all(
+            jnp.asarray(
+                [jnp.all(jnp.isfinite(u)) for u in jax.tree.leaves(updates)]
+            )
+        )
+        ok = jnp.isfinite(total) & updates_finite
         pick = lambda new, old: jax.tree.map(
             lambda a, b: jnp.where(ok, a, b), new, old
         )
