@@ -21,6 +21,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from maskrcnn_tf2_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()
+
     from maskrcnn_tf2_tpu.config import MaskRCNNConfig
     from maskrcnn_tf2_tpu.models import MaskRCNN
     from maskrcnn_tf2_tpu.ops.image import compose_image_meta

@@ -1,0 +1,137 @@
+"""Pallas TPU kernel: tile-sequential greedy NMS.
+
+The TPU-native equivalent of NVIDIA's C++ ``ProposalLayer_TRT`` /
+``DetectionLayer_TRT`` suppression cores (reference deploy path,
+inference_optimize.py:124-164, 202-236). Same algorithm as the XLA oracle in
+``ops.nms`` — score-sorted boxes, sequential tiles, prefix cross-suppression
++ within-tile fixpoint — but fused into one kernel that keeps boxes, the
+running keep-mask and each [T, N] IoU block entirely in VMEM, computing IoU
+blocks on the fly (the N x N matrix never exists, not even in HBM).
+
+Layout: boxes are passed as SoA ``[8, N]`` (y1, x1, y2, x2, area, valid,
+pad, pad) so each coordinate is a [N]-lane vector row; N is padded to a
+multiple of the 128-lane tile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128  # rows processed per step; lanes dimension is N
+
+
+def _nms_kernel(soa_ref, keep_ref, *, n: int, iou_threshold: float):
+    """soa_ref: [8, N] f32 in VMEM; keep_ref: [1, N] f32 out (1.0 = kept)."""
+    num_tiles = n // TILE
+
+    y1 = soa_ref[0:1, :]  # [1, N]
+    x1 = soa_ref[1:2, :]
+    y2 = soa_ref[2:3, :]
+    x2 = soa_ref[3:4, :]
+    area = soa_ref[4:5, :]
+    valid = soa_ref[5:6, :]
+
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)  # [1, N]
+    keep_ref[:, :] = jnp.zeros((1, n), jnp.float32)
+
+    def tile_body(i, _):
+        start = i * TILE
+        # Row-tile coordinates as [TILE, 1] (sublane) vectors.
+        ry1 = soa_ref[0:1, pl.ds(start, TILE)].reshape(TILE, 1)
+        rx1 = soa_ref[1:2, pl.ds(start, TILE)].reshape(TILE, 1)
+        ry2 = soa_ref[2:3, pl.ds(start, TILE)].reshape(TILE, 1)
+        rx2 = soa_ref[3:4, pl.ds(start, TILE)].reshape(TILE, 1)
+        rarea = soa_ref[4:5, pl.ds(start, TILE)].reshape(TILE, 1)
+        rvalid = soa_ref[5:6, pl.ds(start, TILE)].reshape(TILE, 1)
+
+        # [TILE, N] IoU block against all boxes.
+        iy1 = jnp.maximum(ry1, y1)
+        ix1 = jnp.maximum(rx1, x1)
+        iy2 = jnp.minimum(ry2, y2)
+        ix2 = jnp.minimum(rx2, x2)
+        inter = jnp.maximum(iy2 - iy1, 0.0) * jnp.maximum(ix2 - ix1, 0.0)
+        union = rarea + area - inter
+        over = (inter > iou_threshold * union).astype(jnp.float32)  # [TILE, N]
+
+        # (a) cross-suppression from the finalized prefix.
+        prefix = keep_ref[:, :] * (col_idx < start).astype(jnp.float32)  # [1, N]
+        cross = jnp.sum(over * prefix, axis=1, keepdims=True)  # [TILE, 1]
+        row_alive = rvalid * (cross <= 0.0).astype(jnp.float32)  # [TILE, 1]
+
+        # (b) within-tile fixpoint on the diagonal block, recomputed from the
+        # tile's own coordinates ([TILE,1] rows x [1,TILE] cols) — value-level
+        # dynamic_slice is not lowerable on TPU Pallas.
+        cy1 = soa_ref[0:1, pl.ds(start, TILE)]  # [1, TILE]
+        cx1 = soa_ref[1:2, pl.ds(start, TILE)]
+        cy2 = soa_ref[2:3, pl.ds(start, TILE)]
+        cx2 = soa_ref[3:4, pl.ds(start, TILE)]
+        carea = soa_ref[4:5, pl.ds(start, TILE)]
+        dy1 = jnp.maximum(ry1, cy1)
+        dx1 = jnp.maximum(rx1, cx1)
+        dy2 = jnp.minimum(ry2, cy2)
+        dx2 = jnp.minimum(rx2, cx2)
+        dinter = jnp.maximum(dy2 - dy1, 0.0) * jnp.maximum(dx2 - dx1, 0.0)
+        dunion = rarea + carea - dinter
+        diag = (dinter > iou_threshold * dunion).astype(jnp.float32)  # [TILE, TILE]
+        rr = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+        g = diag * (rr < cc).astype(jnp.float32)
+        g = g * row_alive * row_alive.reshape(1, TILE)
+
+        def cond(state):
+            it, keep_t, changed = state
+            return jnp.logical_and(changed, it < TILE)
+
+        def body(state):
+            it, keep_t, _ = state
+            # suppressed[c] = any_r keep_t[r] & g[r, c]
+            suppressed = jnp.sum(keep_t * g, axis=0, keepdims=True)  # [1, TILE]
+            new_keep = row_alive.reshape(1, TILE) * (suppressed <= 0.0).astype(
+                jnp.float32
+            )
+            new_keep = new_keep.reshape(TILE, 1)
+            return it + 1, new_keep, jnp.any(new_keep != keep_t)
+
+        _, keep_t, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), row_alive, jnp.bool_(True))
+        )
+        keep_ref[0:1, pl.ds(start, TILE)] = keep_t.reshape(1, TILE)
+        return 0
+
+    jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold",))
+def greedy_keep_pallas(
+    boxes_s: jnp.ndarray, valid_s: jnp.ndarray, iou_threshold: float
+) -> jnp.ndarray:
+    """Keep-mask for score-sorted boxes [N, 4] (N % 128 == 0) via Pallas."""
+    n = boxes_s.shape[0]
+    assert n % TILE == 0, f"N must be a multiple of {TILE}"
+    b = boxes_s.astype(jnp.float32)
+    area = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    soa = jnp.stack(
+        [
+            b[:, 0],
+            b[:, 1],
+            b[:, 2],
+            b[:, 3],
+            area,
+            valid_s.astype(jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+        ],
+        axis=0,
+    )  # [8, N]
+    keep = pl.pallas_call(
+        functools.partial(_nms_kernel, n=n, iou_threshold=float(iou_threshold)),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(soa)
+    return keep[0] > 0.5

@@ -8,22 +8,22 @@ path swaps these for NVIDIA's C++ TRT plugins (``ProposalLayer_TRT``,
 
 * everything is padded/static — XLA/TPU friendly, vmap-able over batch and
   class axes;
-* greedy NMS is computed by **fixpoint iteration** on the suppression
-  recurrence instead of a sequential O(N) loop: with boxes sorted by score,
-  ``keep[i] = valid[i] and not any_{j<i}(keep[j] and iou[j,i] > t)``.
-  Iterating ``keep <- valid & ~(G^T keep)`` from ``keep = valid`` settles one
-  suppression-chain level per step, so it converges to the exact greedy
-  solution in ``depth(chains)`` iterations (typically < 10 for detection
-  workloads) — each iteration is one masked matvec that maps cleanly onto
-  the MXU/VPU.
+* greedy NMS is computed **tile-sequentially**: with boxes sorted by score
+  and partitioned into tiles of ``TILE`` boxes, all boxes before tile ``i``
+  are finalized when tile ``i`` is processed, so one ``[TILE, N]`` IoU block
+  suppresses the tile from the finalized prefix, and a short fixpoint
+  iteration on the ``[TILE, TILE]`` diagonal block settles within-tile
+  suppression chains (depth-bounded, typically < 10 iterations). Total work
+  is a fixed O(N^2 / TILE) sweep — no data-dependent full-matrix reiteration.
 
-A Pallas tiled variant (never materializing the NxN IoU matrix) lives in
-``maskrcnn_tf2_tpu.kernels``; this module is the portable XLA fallback and
-the semantic oracle.
+This file is the XLA reference implementation and semantic oracle; the
+Pallas kernel in ``maskrcnn_tf2_tpu.kernels.nms_pallas`` implements the same
+tiling fused in VMEM.
 """
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -32,46 +32,76 @@ import jax.numpy as jnp
 from maskrcnn_tf2_tpu.ops.boxes import overlaps
 
 _NEG_INF = jnp.float32(-1e9)
+TILE = 512
 
 
-def _greedy_keep_from_iou(
-    iou: jnp.ndarray,
-    valid: jnp.ndarray,
-    iou_threshold: float,
-    max_iters: int | None = None,
-) -> jnp.ndarray:
-    """Greedy NMS keep-mask for score-sorted boxes given their IoU matrix.
+def _use_pallas() -> bool:
+    """Pallas kernel on real TPU unless disabled via MASKRCNN_TPU_NMS=xla."""
+    if os.environ.get("MASKRCNN_TPU_NMS", "").lower() == "xla":
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
 
-    ``iou``: [N, N] of score-descending boxes. ``valid``: [N] bool.
-    Returns keep mask [N] identical to sequential greedy NMS: the recurrence
-    has a unique fixpoint (induction over the sorted order) and the iteration
-    settles one suppression-chain level per step, so the loop exits after
-    ``depth(chains)`` iterations; ``max_iters`` defaults to N, the upper bound.
+
+def _self_suppress(iou_block: jnp.ndarray, row_valid: jnp.ndarray) -> jnp.ndarray:
+    """Exact greedy keep-mask within one score-sorted tile.
+
+    ``iou_block``: [T, T]; ``row_valid``: [T] rows still alive after prefix
+    suppression. Fixpoint iteration of the greedy recurrence
+    ``keep[i] = valid[i] & !any_{j<i}(keep[j] & iou[j,i] > t)`` — the
+    recurrence has a unique fixpoint (induction over sorted order) and each
+    iteration settles one suppression-chain level, so the loop exits after
+    ``depth(chains) <= T`` iterations.
     """
-    n = iou.shape[0]
-    if max_iters is None:
-        max_iters = n
-    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    # G[j, i]: earlier box j can suppress later box i.
-    g = (iou > iou_threshold) & (row < col)
-    g = g & valid[:, None] & valid[None, :]
+    t = iou_block.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    g = iou_block & (row < col) & row_valid[:, None] & row_valid[None, :]
     gf = g.astype(jnp.float32)
 
     def cond(state):
         it, keep, changed = state
-        return changed & (it < max_iters)
+        return changed & (it < t)
 
     def body(state):
         it, keep, _ = state
         suppressed = (keep.astype(jnp.float32) @ gf) > 0.0
-        new_keep = valid & ~suppressed
+        new_keep = row_valid & ~suppressed
         return it + 1, new_keep, jnp.any(new_keep != keep)
 
-    _, keep, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), valid, jnp.bool_(True))
-    )
+    _, keep, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), row_valid, jnp.bool_(True)))
     return keep
+
+
+def _greedy_keep_tiled(
+    boxes_s: jnp.ndarray, valid_s: jnp.ndarray, iou_threshold: float
+) -> jnp.ndarray:
+    """Greedy NMS keep-mask for score-sorted boxes; exact, tile-sequential.
+
+    boxes_s: [N, 4] (N padded to a multiple of TILE by the caller).
+    """
+    n = boxes_s.shape[0]
+    tile = min(TILE, n)
+    num_tiles = n // tile
+    col_idx = jnp.arange(n)
+
+    def tile_body(i, keep):
+        start = i * tile
+        rows = jax.lax.dynamic_slice(boxes_s, (start, 0), (tile, 4))
+        iou_all = overlaps(rows, boxes_s) > iou_threshold  # [T, N] bool
+        # (a) suppression by the finalized prefix (< start)
+        prefix = keep & (col_idx < start)
+        cross = jnp.any(iou_all & prefix[None, :], axis=1)
+        row_valid = jax.lax.dynamic_slice(valid_s, (start,), (tile,)) & ~cross
+        # (b) within-tile chains on the diagonal block
+        diag = jax.lax.dynamic_slice(iou_all, (0, start), (tile, tile))
+        tile_keep = _self_suppress(diag, row_valid)
+        return jax.lax.dynamic_update_slice(keep, tile_keep, (start,))
+
+    keep0 = jnp.zeros((n,), bool)
+    return jax.lax.fori_loop(0, num_tiles, tile_body, keep0)
 
 
 @partial(jax.jit, static_argnames=("max_output_size", "iou_threshold"))
@@ -100,21 +130,38 @@ def non_max_suppression(
     n = boxes.shape[0]
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
-    scores = jnp.where(valid, scores, _NEG_INF)
+    scores = jnp.where(valid, scores.astype(jnp.float32), _NEG_INF)
     order = jnp.argsort(-scores)
     boxes_s = jnp.take(boxes, order, axis=0)
     valid_s = jnp.take(valid, order, axis=0)
 
-    iou = overlaps(boxes_s, boxes_s)
-    keep = _greedy_keep_from_iou(iou, valid_s, iou_threshold)
+    if _use_pallas():
+        from maskrcnn_tf2_tpu.kernels.nms_pallas import (
+            TILE as P_TILE,
+            greedy_keep_pallas,
+        )
+
+        pad = (-n) % P_TILE
+        if pad:
+            boxes_s = jnp.concatenate([boxes_s, jnp.zeros((pad, 4), boxes_s.dtype)])
+            valid_s = jnp.concatenate([valid_s, jnp.zeros((pad,), bool)])
+        keep = greedy_keep_pallas(boxes_s, valid_s, iou_threshold)[:n]
+    else:
+        # Pad to a tile multiple (padding rows are invalid).
+        tile = min(TILE, max(n, 1))
+        pad = (-n) % tile
+        if pad:
+            boxes_s = jnp.concatenate([boxes_s, jnp.zeros((pad, 4), boxes_s.dtype)])
+            valid_s = jnp.concatenate([valid_s, jnp.zeros((pad,), bool)])
+        keep = _greedy_keep_tiled(boxes_s, valid_s, iou_threshold)[:n]
 
     # Stable-compact kept entries (already score-ordered) into output slots.
     keep_scores = jnp.where(keep, scores[order], _NEG_INF)
     if n < max_output_size:  # pad up so output always has max_output_size slots
-        pad = max_output_size - n
-        keep_scores = jnp.concatenate([keep_scores, jnp.full((pad,), _NEG_INF)])
-        keep = jnp.concatenate([keep, jnp.zeros((pad,), bool)])
-        order = jnp.concatenate([order, jnp.zeros((pad,), order.dtype)])
+        extra = max_output_size - n
+        keep_scores = jnp.concatenate([keep_scores, jnp.full((extra,), _NEG_INF)])
+        keep = jnp.concatenate([keep, jnp.zeros((extra,), bool)])
+        order = jnp.concatenate([order, jnp.zeros((extra,), order.dtype)])
     top = jnp.argsort(-keep_scores)[:max_output_size]
     out_valid = jnp.take(keep, top)
     indices = jnp.where(out_valid, jnp.take(order, top), 0)

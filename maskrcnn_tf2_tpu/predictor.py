@@ -23,6 +23,9 @@ class Predictor:
     """Batched fixed-shape inference with host unmolding."""
 
     def __init__(self, config: MaskRCNNConfig, variables):
+        from maskrcnn_tf2_tpu.utils.compile_cache import enable as enable_cache
+
+        enable_cache()
         self.config = config
         self.model = MaskRCNN(config)
         self.variables = variables

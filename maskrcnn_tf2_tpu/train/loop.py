@@ -73,6 +73,9 @@ def train_model(
     rng_seed: int = 0,
 ) -> TrainState:
     """Train for ``config.epochs`` epochs; returns the final TrainState."""
+    from maskrcnn_tf2_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()
     rng = jax.random.PRNGKey(rng_seed)
     if state is None:
         state = create_train_state(config, rng)
