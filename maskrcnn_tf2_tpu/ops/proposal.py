@@ -67,6 +67,12 @@ def generate_proposals(
     valid [B, proposal_count] bool)`` — the reference pads with zeros and has
     no validity mask; downstream consumers here get the mask for free.
     """
+    # Proposals are a gradient-free selection: RPN weights learn through the
+    # RPN losses, and ROIAlign stop-gradients its boxes (the reference's
+    # semantics, mrcnn_layers.py:617-641). This also lets the
+    # non-differentiable Pallas NMS kernel run inside the training graph.
+    rpn_probs = jax.lax.stop_gradient(rpn_probs)
+    rpn_deltas = jax.lax.stop_gradient(rpn_deltas)
     scores = rpn_probs[..., 1].astype(jnp.float32)
     deltas = rpn_deltas.astype(jnp.float32) * jnp.asarray(
         rpn_bbox_std, jnp.float32

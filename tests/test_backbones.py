@@ -1,0 +1,60 @@
+"""Backbone zoo: all 25 reference keys build and emit C1..C5 with correct
+strides (the reference's backbone matrix, models_factory.py:10-61 +
+_effnet_mapping)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maskrcnn_tf2_tpu.models import backbone_names, get_backbone
+
+ALL_NAMES = backbone_names()
+# Heavy variants get a smoke pass only in the "fast" list below; the full
+# matrix still builds shapes via init with tiny inputs.
+FAST = [
+    "resnet18",
+    "seresnet18",
+    "resnext50",
+    "seresnext50",
+    "senet154",
+    "mobilenet",
+    "mobilenetv2",
+    "efficientnetb0",
+]
+
+
+def test_zoo_has_25_backbones():
+    assert len(ALL_NAMES) == 25, ALL_NAMES
+
+
+@pytest.mark.parametrize("name", FAST)
+def test_backbone_endpoints_and_strides(name):
+    model = get_backbone(name, dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32))
+    variables = jax.eval_shape(
+        lambda r: model.init({"params": r}, x, train_bn=False), jax.random.PRNGKey(0)
+    )
+    # real init + forward for the fast set
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train_bn=False)
+    out = model.apply(variables, x, train_bn=False)
+    assert set(out) == {"C1", "C2", "C3", "C4", "C5"}
+    for i, key in enumerate(["C1", "C2", "C3", "C4", "C5"]):
+        expected = 64 // (2 ** (i + 1))
+        assert out[key].shape[1] == expected, (name, key, out[key].shape)
+    assert np.isfinite(np.asarray(out["C5"], dtype=np.float32)).all()
+
+
+@pytest.mark.parametrize("name", [n for n in ALL_NAMES if n not in FAST])
+def test_backbone_shapes_abstract(name):
+    """Shape-only (eval_shape) check for the heavy variants — no FLOPs."""
+    model = get_backbone(name, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda r: model.init({"params": r}, x, train_bn=False), jax.random.PRNGKey(0)
+    )
+    out = jax.eval_shape(
+        lambda v: model.apply(v, x, train_bn=False), shapes
+    )
+    for i, key in enumerate(["C1", "C2", "C3", "C4", "C5"]):
+        assert out[key].shape[1] == 64 // (2 ** (i + 1)), (name, key, out[key].shape)
