@@ -41,9 +41,11 @@ def rpn_class_loss(rpn_logits: Array, rpn_match: Array) -> Array:
 
     rpn_logits: [B, A, 2]; rpn_match: [B, A] in {-1, 0, 1}.
     """
-    anchor_class = (rpn_match == 1).astype(jnp.int32)
+    anchor_class = (rpn_match == 1).astype(jnp.float32)
     logp = jax.nn.log_softmax(rpn_logits.astype(jnp.float32), axis=-1)
-    ce = -jnp.take_along_axis(logp, anchor_class[..., None], axis=-1)[..., 0]
+    # arithmetic select over the 2 classes — a take_along_axis here lowers to
+    # ~500k scalar gathers on TPU (profiled at ~7 ms/step)
+    ce = -(anchor_class * logp[..., 1] + (1.0 - anchor_class) * logp[..., 0])
     return _masked_mean(ce, rpn_match != 0)
 
 

@@ -137,3 +137,58 @@ def crop_and_resize(
     )
     point_valid = (valid_y[:, :, None] & valid_x[:, None, :])[..., None]
     return jnp.where(point_valid, out, 0.0)
+
+
+def _sample_coords(lo, hi, n, dim):
+    if n > 1:
+        frac = jnp.arange(n, dtype=jnp.float32) / (n - 1)
+        return (lo[:, None] + (hi - lo)[:, None] * frac) * (dim - 1)
+    return (0.5 * (lo + hi))[:, None] * (dim - 1)
+
+
+def crop_and_resize_separable(
+    masks: jnp.ndarray,
+    boxes: jnp.ndarray,
+    box_indices: jnp.ndarray,
+    crop_size: Sequence[int],
+) -> jnp.ndarray:
+    """``crop_and_resize`` for single-channel masks via two batched matmuls.
+
+    Bilinear sampling is separable: ``out_r = Y_r @ M_{g_r} @ X_r`` where
+    ``Y_r[i, h] = hat(y_i - h)`` is the per-ROI row-interpolation matrix
+    (hat(t) = max(0, 1-|t|)) and X alike. This replaces the 4-corner scalar
+    gathers — pathologically slow on TPU (the profiled mask-target hot spot,
+    ~24 ms per corner at 512^2) — with MXU matmuls and one contiguous
+    row-gather of the assigned masks. Exact same output as ``crop_and_resize``
+    for in-range points; out-of-range sample points produce 0 (tf semantics).
+
+    Args:
+      masks: ``[K, H, W]``.
+      boxes: ``[R, 4]`` normalized.
+      box_indices: ``[R]`` int32.
+      crop_size: (ph, pw).
+
+    Returns: ``[R, ph, pw]`` float32.
+    """
+    k, h, w = masks.shape
+    r = boxes.shape[0]
+    ph, pw = int(crop_size[0]), int(crop_size[1])
+    boxes = boxes.astype(jnp.float32)
+    y1, x1, y2, x2 = (boxes[:, i] for i in range(4))
+
+    ys = _sample_coords(y1, y2, ph, h)  # [R, ph]
+    xs = _sample_coords(x1, x2, pw, w)  # [R, pw]
+    valid_y = (ys >= 0) & (ys <= h - 1)
+    valid_x = (xs >= 0) & (xs <= w - 1)
+
+    grid_h = jnp.arange(h, dtype=jnp.float32)
+    grid_w = jnp.arange(w, dtype=jnp.float32)
+    ymat = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, :, None] - grid_h))  # [R, ph, H]
+    ymat = ymat * valid_y[:, :, None]
+    xmat = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, :, None] - grid_w))  # [R, pw, W]
+    xmat = xmat * valid_x[:, :, None]
+
+    sel = jnp.take(masks.astype(jnp.float32), box_indices, axis=0)  # [R, H, W]
+    # geometry must stay f32: the default matmul precision downcasts to bf16
+    rows = jnp.einsum("rph,rhw->rpw", ymat, sel, precision="highest")
+    return jnp.einsum("rpw,rqw->rpq", rows, xmat, precision="highest")

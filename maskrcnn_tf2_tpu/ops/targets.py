@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from maskrcnn_tf2_tpu.ops.boxes import encode_boxes, overlaps
-from maskrcnn_tf2_tpu.ops.image import crop_and_resize
+from maskrcnn_tf2_tpu.ops.image import crop_and_resize, crop_and_resize_separable
 
 _BIG = jnp.float32(1e9)
 
@@ -106,7 +106,12 @@ def rpn_targets(
     neg = _random_keep_topk(rng_neg, match == -1, train_anchors_per_image - num_pos)
     match = jnp.where(pos, 1, jnp.where(neg, -1, 0))
 
-    matched_gt = jnp.take(gt_boxes, anchor_iou_argmax, axis=0)  # [A, 4]
+    # one-hot matmul instead of a row gather: [A, G] @ [G, 4] maps onto the
+    # MXU; jnp.take here is ~500k scalar gathers (profiled at ~3 ms/step)
+    onehot = jax.nn.one_hot(anchor_iou_argmax, gt_boxes.shape[0], dtype=jnp.float32)
+    matched_gt = jnp.matmul(
+        onehot, gt_boxes.astype(jnp.float32), precision="highest"
+    )  # [A, 4] — f32: default matmul precision would round coords to bf16
     deltas = encode_boxes(anchors, matched_gt)
     deltas = deltas / jnp.asarray(rpn_bbox_std, deltas.dtype)
     deltas = jnp.where((match == 1)[:, None], deltas, 0.0)
@@ -219,9 +224,17 @@ def detection_targets(
         )
     else:
         crop_boxes = rois
-    masks = crop_and_resize(
-        gt_masks[..., None].astype(jnp.float32), crop_boxes, roi_gt_idx, mask_shape
-    )[..., 0]
+    # Separable-matmul sampler when the per-ROI mask materialization is cheap
+    # (always true for mini-masks); 4-corner scalar gathers are a profiled TPU
+    # hot spot at full-image mask resolution.
+    if gt_masks.shape[1] * gt_masks.shape[2] <= 256 * 256:
+        masks = crop_and_resize_separable(
+            gt_masks.astype(jnp.float32), crop_boxes, roi_gt_idx, mask_shape
+        )
+    else:
+        masks = crop_and_resize(
+            gt_masks[..., None].astype(jnp.float32), crop_boxes, roi_gt_idx, mask_shape
+        )[..., 0]
     masks = jnp.where(slot_pos[:, None, None], jnp.round(masks), 0.0)
 
     return DetectionTargets(

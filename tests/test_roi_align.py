@@ -107,3 +107,27 @@ def test_pyramid_roi_align_zero_padding_rois(rng):
     out = np.asarray(pyramid_roi_align(feats, jnp.asarray(boxes), 7, (128, 128, 3)))
     assert out.shape == (1, 5, 7, 7, 4)
     assert np.isfinite(out).all()
+
+
+def test_crop_and_resize_separable_matches_gather(rng):
+    from maskrcnn_tf2_tpu.ops.image import crop_and_resize_separable
+
+    masks = (rng.rand(5, 33, 29) > 0.5).astype(np.float32)
+    boxes = np.array(
+        [
+            [0.1, 0.2, 0.6, 0.9],
+            [0.0, 0.0, 1.0, 1.0],
+            [-0.1, 0.3, 0.5, 1.2],
+            [0.45, 0.45, 0.55, 0.55],
+        ],
+        np.float32,
+    )
+    box_idx = np.array([0, 3, 2, 4], np.int32)
+    for crop in [(28, 28), (7, 5), (1, 1)]:
+        want = crop_and_resize(
+            jnp.asarray(masks[..., None]), jnp.asarray(boxes), jnp.asarray(box_idx), crop
+        )[..., 0]
+        got = crop_and_resize_separable(
+            jnp.asarray(masks), jnp.asarray(boxes), jnp.asarray(box_idx), crop
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
