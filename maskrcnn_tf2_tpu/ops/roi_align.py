@@ -24,10 +24,23 @@ dynamic shapes, identical output ordering to the input ROIs.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+
+
+def _use_matmul() -> bool:
+    """Separable-matmul sampling on real TPU (MXU) unless overridden via
+    MASKRCNN_TPU_ROIALIGN=gather|matmul; scalar gathers are faster on CPU."""
+    env = os.environ.get("MASKRCNN_TPU_ROIALIGN", "").lower()
+    if env in ("gather", "matmul"):
+        return env == "matmul"
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 def roi_level_assignment(
@@ -75,7 +88,101 @@ def _flatten_pyramid(features: Sequence[jnp.ndarray]):
     )
 
 
-def pyramid_roi_align(
+def pyramid_roi_align_matmul(
+    features: Sequence[jnp.ndarray],
+    boxes: jnp.ndarray,
+    pool_size: int,
+    image_shape: Sequence[int],
+    denominator: float = 244.0,
+) -> jnp.ndarray:
+    """ROIAlign as per-level separable matmuls — the MXU formulation.
+
+    Bilinear sampling is a rank-2 separable linear map: for a ROI on level l,
+    ``out = Y @ F_l @ X^T`` with hat-function interpolation matrices
+    ``Y [P, Hl]``, ``X [P, Wl]``. Every ROI is pooled from every level with
+    its Y zeroed on non-assigned levels, and the level results summed — an
+    exact select with no gather anywhere. Scalar gathers (the XLA fallback
+    below) run at <10% HBM efficiency on TPU (profiled); dense MXU matmuls
+    make this ~an order of magnitude faster despite the 4x level redundancy.
+    """
+    boxes = jax.lax.stop_gradient(boxes).astype(jnp.float32)
+    b, n, _ = boxes.shape
+    p = pool_size
+
+    # Chunk the ROI axis so the [B, chunk, P, W, C] contraction intermediate
+    # stays ~<300 MB (N=1000 x W=256 x C=256 would otherwise materialize GBs).
+    max_w = max(f.shape[2] for f in features)
+    c = features[0].shape[-1]
+    budget = 300 * 1024 * 1024
+    chunk = max(32, min(n, budget // max(1, b * p * max_w * c * 2)))
+    if n > chunk:
+        pad = (-n) % chunk
+        boxes_p = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
+        stacked = boxes_p.reshape(b, -1, chunk, 4).swapaxes(0, 1)  # [K, B, chunk, 4]
+        outs = jax.lax.map(
+            lambda bx: _roi_align_matmul_impl(
+                features, bx, p, image_shape, denominator
+            ),
+            stacked,
+        )  # [K, B, chunk, P, P, C]
+        out = outs.swapaxes(0, 1).reshape(b, -1, p, p, outs.shape[-1])[:, :n]
+        return out
+    return _roi_align_matmul_impl(features, boxes, p, image_shape, denominator)
+
+
+def _roi_align_matmul_impl(
+    features, boxes, pool_size, image_shape, denominator
+) -> jnp.ndarray:
+    num_levels = len(features)
+    b, n, _ = boxes.shape
+    p = pool_size
+    compute_dtype = features[0].dtype
+
+    image_area = float(image_shape[0]) * float(image_shape[1])
+    levels = roi_level_assignment(boxes, image_area, num_levels, denominator)
+    box_valid = (boxes[..., 2] > boxes[..., 0]) & (boxes[..., 3] > boxes[..., 1])
+
+    y1, x1, y2, x2 = (boxes[..., i] for i in range(4))
+    if p > 1:
+        frac = jnp.arange(p, dtype=jnp.float32) / (p - 1)  # [P]
+        ys_n = y1[..., None] + (y2 - y1)[..., None] * frac  # [B, N, P] in [0,1]
+        xs_n = x1[..., None] + (x2 - x1)[..., None] * frac
+    else:
+        ys_n = (0.5 * (y1 + y2))[..., None]
+        xs_n = (0.5 * (x1 + x2))[..., None]
+
+    out = None
+    for lvl, f in enumerate(features):
+        hl, wl = f.shape[1], f.shape[2]
+        ys = ys_n * (hl - 1)
+        xs = xs_n * (wl - 1)
+        sel = (levels == lvl) & box_valid  # [B, N]
+
+        grid_h = jnp.arange(hl, dtype=jnp.float32)
+        grid_w = jnp.arange(wl, dtype=jnp.float32)
+        ymat = jnp.maximum(0.0, 1.0 - jnp.abs(ys[..., None] - grid_h))  # [B,N,P,Hl]
+        ymat = ymat * ((ys >= 0) & (ys <= hl - 1))[..., None]
+        ymat = ymat * sel[..., None, None]
+        xmat = jnp.maximum(0.0, 1.0 - jnp.abs(xs[..., None] - grid_w))  # [B,N,P,Wl]
+        xmat = xmat * ((xs >= 0) & (xs <= wl - 1))[..., None]
+
+        rows = jnp.einsum(
+            "bnph,bhwc->bnpwc",
+            ymat.astype(compute_dtype),
+            f,
+            preferred_element_type=jnp.float32,
+        )
+        lvl_out = jnp.einsum(
+            "bnpwc,bnqw->bnpqc",
+            rows.astype(compute_dtype),
+            xmat.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        out = lvl_out if out is None else out + lvl_out
+    return out.astype(compute_dtype)
+
+
+def pyramid_roi_align_gather(
     features: Sequence[jnp.ndarray],
     boxes: jnp.ndarray,
     pool_size: int,
@@ -167,4 +274,21 @@ def pyramid_roi_align(
     )  # [B, N*P*P*4, C]
     gathered = gathered.reshape(b, n, p, p, 4, -1)
     out = jnp.sum(gathered * weights[..., None].astype(compute_dtype), axis=-2)
-    return out
+    # Zero-pad ROIs pool zeros (tf.crop_and_resize would sample pixel (0,0);
+    # zero output is the cleaner contract and matches the matmul path).
+    fb = boxes.astype(jnp.float32)
+    box_valid = (fb[..., 2] > fb[..., 0]) & (fb[..., 3] > fb[..., 1])
+    return out * box_valid[..., None, None, None].astype(out.dtype)
+
+
+def pyramid_roi_align(
+    features: Sequence[jnp.ndarray],
+    boxes: jnp.ndarray,
+    pool_size: int,
+    image_shape: Sequence[int],
+    denominator: float = 244.0,
+) -> jnp.ndarray:
+    """Device-appropriate dispatch: MXU matmul formulation on TPU, gather on
+    CPU. Both are exact implementations of the same sampling semantics."""
+    fn = pyramid_roi_align_matmul if _use_matmul() else pyramid_roi_align_gather
+    return fn(features, boxes, pool_size, image_shape, denominator)

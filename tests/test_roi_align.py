@@ -131,3 +131,28 @@ def test_crop_and_resize_separable_matches_gather(rng):
             jnp.asarray(masks), jnp.asarray(boxes), jnp.asarray(box_idx), crop
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_pyramid_roi_align_matmul_matches_gather(rng):
+    from maskrcnn_tf2_tpu.ops.roi_align import (
+        pyramid_roi_align_gather,
+        pyramid_roi_align_matmul,
+    )
+
+    b, c = 2, 8
+    shapes = [(32, 32), (16, 16), (8, 8), (4, 4)]
+    feats = [jnp.asarray(rng.randn(b, h, w, c).astype(np.float32)) for h, w in shapes]
+    n = 10
+    y1 = rng.uniform(0, 0.6, (b, n))
+    x1 = rng.uniform(0, 0.6, (b, n))
+    hh = rng.uniform(0.05, 0.4, (b, n))
+    ww = rng.uniform(0.05, 0.4, (b, n))
+    boxes = np.stack([y1, x1, y1 + hh, x1 + ww], axis=-1).astype(np.float32)
+    boxes[0, -1] = 0  # padding roi
+    for p in (7, 14):
+        a = np.asarray(pyramid_roi_align_gather(feats, jnp.asarray(boxes), p, (128, 128, 3)))
+        m = np.asarray(pyramid_roi_align_matmul(feats, jnp.asarray(boxes), p, (128, 128, 3)))
+        # matmul path intentionally runs its contractions at MXU/bf16-input
+        # precision — compare at bf16 tolerance
+        np.testing.assert_allclose(m, a, rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(m[0, -1], 0.0)  # padding roi pools zeros
