@@ -72,7 +72,7 @@ class DataLoader:
             yield from self.epoch()
 
     def _collate(self, samples) -> Dict[str, np.ndarray]:
-        return {
+        batch = {
             "images": np.stack([s["image"] for s in samples]).astype(np.float32),
             "image_meta": np.stack([s["image_meta"] for s in samples]),
             "gt_class_ids": np.stack([s["gt_class_ids"] for s in samples]),
@@ -81,6 +81,21 @@ class DataLoader:
                 np.float32
             ),
         }
+        if self.config.random_rois:
+            from maskrcnn_tf2_tpu.data.random_rois import generate_random_rois
+
+            batch["input_rois"] = np.stack(
+                [
+                    generate_random_rois(
+                        self.config.image_shape,
+                        self.config.random_rois,
+                        s["gt_boxes"],
+                        self._rng,
+                    )
+                    for s in samples
+                ]
+            )
+        return batch
 
 
 def prefetch(iterator, size: int = 2):

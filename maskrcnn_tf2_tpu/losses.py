@@ -118,14 +118,23 @@ def mrcnn_mask_loss(masks_pred: Array, target_masks: Array, target_class_ids: Ar
     return _masked_mean(bce, cls > 0)
 
 
-def l2_reg_loss(params, weight_decay: float, include_batchnorm: bool = False) -> Array:
+def l2_reg_loss(
+    params,
+    weight_decay: float,
+    include_batchnorm: bool = False,
+    skip_prefixes: Tuple[str, ...] = (),
+) -> Array:
     """Size-normalized L2 over kernels (reference L2RegLoss, losses.py:238-256):
     ``weight_decay * mean(square(w))`` summed over weight tensors, skipping
-    BatchNorm scale/bias unless ``include_batchnorm``, and all biases.
+    BatchNorm scale/bias unless ``include_batchnorm``, all biases, and any
+    top-level module in ``skip_prefixes`` (frozen submodels are not
+    regularized — Keras only regularizes trainable weights).
     """
     total = jnp.float32(0.0)
     for path, leaf in jax.tree_util.tree_leaves_with_path(params):
         keys = [getattr(p, "key", str(p)) for p in path]
+        if keys and str(keys[0]) in skip_prefixes:
+            continue
         name = "/".join(str(k) for k in keys)
         is_bn = any(("bn" in str(k).lower()) or str(k) == "BatchNorm" for k in keys)
         if not include_batchnorm and is_bn:

@@ -49,18 +49,18 @@ class FPNClassifierHead(nn.Module):
         d = self.dtype
         act: Callable = (lambda v: nn.leaky_relu(v, 0.2)) if self.leaky_relu else nn.relu
         b, n, p, _, c = roi_features.shape
-        x = roi_features.reshape(b * n, p, p, c).astype(d)
-
-        # "FC" realized as a VALID PxP conv -> [B*N, 1, 1, fc]
-        x = nn.Conv(
-            self.fc_size, (p, p), padding="VALID", dtype=d, name="mrcnn_class_conv1"
-        )(x)
+        # The reference's TimeDistributed PxP VALID conv "FC" (and the 1x1
+        # conv after it) are plain dense layers once ROIs are flattened —
+        # one large MXU matmul instead of a degenerate convolution (which
+        # also compiles pathologically slowly on TPU).
+        x = roi_features.reshape(b * n, p * p * c).astype(d)
+        x = nn.Dense(self.fc_size, dtype=d, name="mrcnn_class_conv1")(x)
         x = _bn("mrcnn_class_bn1", train_bn, d)(x)
         x = act(x)
-        x = nn.Conv(self.fc_size, (1, 1), dtype=d, name="mrcnn_class_conv2")(x)
+        x = nn.Dense(self.fc_size, dtype=d, name="mrcnn_class_conv2")(x)
         x = _bn("mrcnn_class_bn2", train_bn, d)(x)
         x = act(x)
-        shared = x.reshape(b * n, self.fc_size)
+        shared = x
 
         logits = nn.Dense(self.num_classes, dtype=d, name="mrcnn_class_logits")(shared)
         logits = logits.reshape(b, n, self.num_classes).astype(jnp.float32)

@@ -159,11 +159,13 @@ class MaskRCNN(nn.Module):
             )(rngs, proposals, gt_class_ids, gt_boxes, gt_masks)
 
             pooled = pyramid_roi_align(
-                mrcnn_feats, targets.rois, cfg.pool_size, cfg.image_shape
+                mrcnn_feats, targets.rois, cfg.pool_size, cfg.image_shape,
+                training=True,
             )
             logits, probs, deltas = self.classifier(pooled, train_bn=train_bn)
             mask_pooled = pyramid_roi_align(
-                mrcnn_feats, targets.rois, cfg.mask_pool_size, cfg.image_shape
+                mrcnn_feats, targets.rois, cfg.mask_pool_size, cfg.image_shape,
+                training=True,
             )
             masks = self.mask_head(mask_pooled, train_bn=train_bn)
             if cfg.frozen_cls_head:

@@ -287,8 +287,21 @@ def pyramid_roi_align(
     pool_size: int,
     image_shape: Sequence[int],
     denominator: float = 244.0,
+    training: bool = False,
 ) -> jnp.ndarray:
-    """Device-appropriate dispatch: MXU matmul formulation on TPU, gather on
-    CPU. Both are exact implementations of the same sampling semantics."""
-    fn = pyramid_roi_align_matmul if _use_matmul() else pyramid_roi_align_gather
-    return fn(features, boxes, pool_size, image_shape, denominator)
+    """Mode/device-appropriate dispatch; both paths implement identical
+    sampling semantics.
+
+    * training on TPU -> matmul formulation: the gather's backward is a
+      scatter-add that runs at <10% HBM efficiency (profiled ~27 ms/step);
+      the MXU matmul fwd+bwd is ~10x cheaper at ROI counts ~200.
+    * inference on TPU -> gather: forward-only, and at 1000 proposals the
+      matmul's dense H x W contraction costs more than the gather
+      (measured 68 vs 56 img/s R101@1024).
+    * CPU -> always gather (no MXU; tests/oracles).
+    """
+    if training and _use_matmul():
+        return pyramid_roi_align_matmul(
+            features, boxes, pool_size, image_shape, denominator
+        )
+    return pyramid_roi_align_gather(features, boxes, pool_size, image_shape, denominator)

@@ -45,6 +45,11 @@ def create_train_state(config: MaskRCNNConfig, rng) -> TrainState:
     mh, mw = (
         config.mini_mask_shape if config.use_mini_masks else (h, w)
     )
+    dummy_rois = (
+        None
+        if config.use_rpn_rois
+        else jnp.zeros((1, config.random_rois or config.train_rois_per_image, 4))
+    )
     variables = jax.jit(
         lambda r: model.init(
             {"params": r, "sampling": jax.random.fold_in(r, 1)},
@@ -53,6 +58,7 @@ def create_train_state(config: MaskRCNNConfig, rng) -> TrainState:
             jnp.zeros((1, g), jnp.int32),
             jnp.zeros((1, g, 4), jnp.float32),
             jnp.zeros((1, g, mh, mw), jnp.float32),
+            input_rois=dummy_rois,
             train=True,
         )
     )(rng)
@@ -95,6 +101,7 @@ def _loss_and_updates(
         batch["gt_class_ids"],
         batch["gt_boxes"],
         batch["gt_masks"],
+        input_rois=batch.get("input_rois"),  # use_rpn_rois=False path
         train=True,
         rngs={"sampling": rng_sample},
         mutable=["batch_stats"],
@@ -103,7 +110,19 @@ def _loss_and_updates(
     total, losses = compute_losses(
         outputs, rpn_tgt.match, rpn_tgt.deltas, active, config
     )
-    l2 = l2_reg_loss(params, config.weight_decay, config.l2_reg_batchnorm)
+    frozen = tuple(
+        name
+        for flag, name in [
+            (config.frozen_backbone, "backbone"),
+            (config.frozen_rpn_model, "rpn"),
+            (config.frozen_cls_head, "classifier"),
+            (config.frozen_mask_head, "mask_head"),
+        ]
+        if flag
+    )
+    l2 = l2_reg_loss(
+        params, config.weight_decay, config.l2_reg_batchnorm, skip_prefixes=frozen
+    )
     losses["l2_loss"] = l2
     total = total + l2
     return total, (losses, mutated.get("batch_stats", batch_stats))

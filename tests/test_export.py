@@ -1,0 +1,52 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from maskrcnn_tf2_tpu.config import MaskRCNNConfig
+from maskrcnn_tf2_tpu.export.serialize import export_stablehlo, load_stablehlo
+from maskrcnn_tf2_tpu.models import MaskRCNN
+from maskrcnn_tf2_tpu.ops.image import compose_image_meta
+
+CFG = MaskRCNNConfig(
+    image_shape=(128, 128, 3),
+    rpn_anchor_scales=(8, 16, 32, 64, 128),
+    pre_nms_limit=128,
+    post_nms_rois_inference=32,
+    post_nms_rois_training=32,
+    train_rois_per_image=16,
+    num_classes=3,
+    detection_max_instances=8,
+    backbone="resnet18",
+    compute_dtype="float32",
+)
+
+
+def test_stablehlo_export_roundtrip(tmp_path):
+    model = MaskRCNN(CFG)
+    images = jnp.zeros((1, 128, 128, 3))
+    meta = jnp.asarray(
+        compose_image_meta(0, (128, 128, 3), (128, 128, 3), (0, 0, 128, 128), 1.0, np.ones(3))
+    )[None]
+    variables = jax.jit(
+        lambda r: model.init({"params": r}, images, meta, train=False)
+    )(jax.random.PRNGKey(0))
+
+    path = str(tmp_path / "mrcnn.stablehlo")
+    export_stablehlo(CFG, variables, path, batch_size=1)
+    fn = load_stablehlo(path)
+
+    rng_img = jnp.asarray(
+        np.random.RandomState(0).rand(1, 128, 128, 3).astype(np.float32) * 255
+    )
+    det_direct, masks_direct = jax.jit(
+        lambda im, me: (
+            model.apply(variables, im, me, train=False)["detections"],
+            model.apply(variables, im, me, train=False)["mrcnn_masks"],
+        )
+    )(rng_img, meta)
+    det_loaded, masks_loaded = fn(rng_img, meta)
+    assert det_loaded.shape == (1, 8, 6)
+    assert masks_loaded.shape == (1, 8, 28, 28, 3)
+    np.testing.assert_allclose(
+        np.asarray(det_loaded), np.asarray(det_direct), rtol=1e-5, atol=1e-5
+    )

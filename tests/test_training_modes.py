@@ -1,0 +1,102 @@
+"""Multistage-training mode switches (reference config.py:173-177 +
+model.py:86-124): tune_rpn_model_only, use_rpn_rois=False (external ROIs),
+frozen submodels."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maskrcnn_tf2_tpu.config import MaskRCNNConfig
+from maskrcnn_tf2_tpu.ops.image import compose_image_meta
+from maskrcnn_tf2_tpu.train.train_step import (
+    _loss_and_updates,
+    create_train_state,
+    make_train_step,
+)
+from maskrcnn_tf2_tpu.ops.anchors import get_anchors
+
+BASE = dict(
+    image_shape=(64, 64, 3),
+    image_min_dim=64,
+    image_max_dim=64,
+    rpn_anchor_scales=(4, 8, 16, 32, 64),
+    pre_nms_limit=128,
+    post_nms_rois_training=32,
+    post_nms_rois_inference=32,
+    train_rois_per_image=8,
+    max_gt_instances=4,
+    num_classes=3,
+    backbone="resnet18",
+    compute_dtype="float32",
+    batch_size=1,
+)
+
+
+def make_batch(cfg, with_rois=False):
+    b, g = 1, cfg.max_gt_instances
+    h, w, _ = cfg.image_shape
+    batch = {
+        "images": jnp.asarray(np.random.RandomState(0).rand(b, h, w, 3) * 255, jnp.float32),
+        "image_meta": jnp.tile(
+            jnp.asarray(
+                compose_image_meta(0, (h, w, 3), (h, w, 3), (0, 0, h, w), 1.0, np.ones(3))
+            ),
+            (b, 1),
+        ),
+        "gt_class_ids": jnp.zeros((b, g), jnp.int32).at[:, :2].set(1),
+        "gt_boxes": jnp.concatenate(
+            [
+                jnp.asarray([[[0.1, 0.1, 0.5, 0.5], [0.5, 0.5, 0.9, 0.9]]]),
+                jnp.zeros((b, g - 2, 4)),
+            ],
+            axis=1,
+        ),
+        "gt_masks": jnp.ones((b, g, h, w), jnp.float32),
+    }
+    if with_rois:
+        batch["input_rois"] = jnp.tile(
+            jnp.asarray([[[0.1, 0.1, 0.5, 0.5], [0.4, 0.4, 0.9, 0.9]] * 16]), (b, 1, 1)
+        )
+    return batch
+
+
+def test_tune_rpn_model_only_keeps_only_rpn_losses():
+    cfg = MaskRCNNConfig(**BASE, tune_rpn_model_only=True)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg))
+    _, losses = step(state, make_batch(cfg), jax.random.PRNGKey(1))
+    assert "rpn_class_loss" in losses and "rpn_bbox_loss" in losses
+    assert "mrcnn_class_loss" not in losses
+
+
+def test_external_rois_path():
+    cfg = MaskRCNNConfig(**BASE, use_rpn_rois=False, random_rois=32)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg))
+    _, losses = step(state, make_batch(cfg, with_rois=True), jax.random.PRNGKey(1))
+    # RPN losses dropped, head losses present and finite
+    assert "rpn_class_loss" not in losses
+    for k in ("mrcnn_class_loss", "mrcnn_bbox_loss", "mrcnn_mask_loss"):
+        assert np.isfinite(float(losses[k]))
+
+
+def test_frozen_backbone_gets_zero_grads():
+    cfg = MaskRCNNConfig(**BASE, frozen_backbone=True)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    anchors = jnp.asarray(get_anchors(cfg))
+
+    @jax.jit
+    def grads_of(params):
+        g = jax.grad(
+            lambda p: _loss_and_updates(
+                p, state.batch_stats, make_batch(cfg), jax.random.PRNGKey(1), cfg, anchors
+            )[0]
+        )(params)
+        return g
+
+    g = grads_of(state.params)
+    bb = jax.tree.leaves(g["backbone"])
+    assert all(float(jnp.max(jnp.abs(x))) == 0.0 for x in bb)
+    # heads still receive gradient
+    heads = jax.tree.leaves(g["classifier"]) if "classifier" in g else []
+    assert any(float(jnp.max(jnp.abs(x))) > 0 for x in jax.tree.leaves(g))
