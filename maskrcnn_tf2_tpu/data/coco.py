@@ -170,6 +170,51 @@ class CocoDataset(SegmentationDataset):
         return np.stack(masks, axis=-1), np.asarray(class_ids, np.int32)
 
 
+COCO_URLS = {
+    # (images_zip, annotations_zip) per subset/year — the reference's
+    # auto_download sources (samples/coco/coco.py:271-341)
+    ("train", "2017"): (
+        "http://images.cocodataset.org/zips/train2017.zip",
+        "http://images.cocodataset.org/annotations/annotations_trainval2017.zip",
+    ),
+    ("val", "2017"): (
+        "http://images.cocodataset.org/zips/val2017.zip",
+        "http://images.cocodataset.org/annotations/annotations_trainval2017.zip",
+    ),
+}
+
+
+def auto_download(dataset_dir: str, subset: str, year: str = "2017"):
+    """Download + unzip COCO images/annotations if absent (reference
+    coco.py:271-341). Requires network egress."""
+    import urllib.request
+    import zipfile
+
+    os.makedirs(dataset_dir, exist_ok=True)
+    img_dir = os.path.join(dataset_dir, f"{subset}{year}")
+    ann_file = os.path.join(
+        dataset_dir, "annotations", f"instances_{subset}{year}.json"
+    )
+    urls = COCO_URLS.get((subset, year))
+    if urls is None:
+        raise ValueError(f"no download source for {subset}{year}")
+    for target, url in [(img_dir, urls[0]), (ann_file, urls[1])]:
+        if os.path.exists(target):
+            continue
+        zip_path = os.path.join(dataset_dir, os.path.basename(url))
+        print(f"downloading {url} ...")
+        try:
+            urllib.request.urlretrieve(url, zip_path)
+        except OSError as e:
+            raise RuntimeError(
+                f"COCO auto-download failed ({e}); this environment may have "
+                "no network egress — stage the dataset manually"
+            ) from e
+        with zipfile.ZipFile(zip_path) as zf:
+            zf.extractall(dataset_dir)
+        os.remove(zip_path)
+
+
 # 80 COCO thing classes + background — mirrors COCO_CONFIG's class dict
 # (samples/coco/coco.py:30-115).
 COCO_CLASS_NAMES = [

@@ -194,13 +194,15 @@ class CocoEvalLite:
                 # monotone non-increasing precision envelope
                 for i in range(len(pr) - 2, -1, -1):
                     pr[i] = max(pr[i], pr[i + 1])
+                if len(pr) == 0:
+                    ap[ti, ci] = 0.0
+                    recall[ti, ci] = 0.0
+                    continue
                 # 101-point interpolation
                 idx = np.searchsorted(rc, RECALL_POINTS, side="left")
-                prec_at = np.where(idx < len(pr), pr[np.minimum(idx, max(len(pr) - 1, 0))], 0.0)
-                if len(pr) == 0:
-                    prec_at = np.zeros_like(RECALL_POINTS)
+                prec_at = np.where(idx < len(pr), pr[np.minimum(idx, len(pr) - 1)], 0.0)
                 ap[ti, ci] = prec_at.mean()
-                recall[ti, ci] = rc[-1] if len(rc) else 0.0
+                recall[ti, ci] = rc[-1]
         return ap, recall
 
     def summarize(self, verbose: bool = True) -> Dict[str, float]:

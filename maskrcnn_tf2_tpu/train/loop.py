@@ -76,6 +76,10 @@ def train_model(
     from maskrcnn_tf2_tpu.utils.compile_cache import enable as enable_cache
 
     enable_cache()
+    if config.debug_nans:
+        # opt-in NaN sanitizer (aux subsystem; reference has only the
+        # check_loss_nan guard, model.py:64-84)
+        jax.config.update("jax_debug_nans", True)
     rng = jax.random.PRNGKey(rng_seed)
     if state is None:
         state = create_train_state(config, rng)
@@ -87,7 +91,22 @@ def train_model(
 
     train_loader = DataLoader(train_dataset, config, shuffle=True, augment_fn=augment_fn)
     spe = steps_per_epoch or train_loader.steps_per_epoch
-    train_step = jax.jit(make_train_step(config))
+
+    # Data-parallel over every visible device (the reference is single-GPU;
+    # here DP is the default whenever a mesh exists).
+    n_dev = len(jax.devices())
+    if n_dev > 1 and config.batch_size % n_dev == 0:
+        from maskrcnn_tf2_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+        from maskrcnn_tf2_tpu.train.train_step import make_data_parallel_train_step
+
+        mesh = make_mesh(n_dev, config.mesh_data_axis)
+        train_step = make_data_parallel_train_step(config, mesh)
+        state = replicate(state, mesh)
+        place = lambda b: shard_batch(b, mesh, config.mesh_data_axis)
+        print(f"data-parallel over {n_dev} devices (axis '{config.mesh_data_axis}')")
+    else:
+        train_step = jax.jit(make_train_step(config))
+        place = lambda b: b
     eval_step = jax.jit(make_eval_step(config))
 
     sched = PlateauScheduler(
@@ -102,7 +121,7 @@ def train_model(
         for s in range(spe):
             if profile_steps and global_step == profile_steps[0]:
                 jax.profiler.start_trace(ckpt_lib.checkpoint_dir(config, checkpoint_base))
-            batch = jax.tree.map(jnp.asarray, next(train_iter))
+            batch = place(jax.tree.map(jnp.asarray, next(train_iter)))
             state, losses = train_step(
                 state, batch, jax.random.fold_in(rng, global_step)
             )

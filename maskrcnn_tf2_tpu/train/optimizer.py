@@ -10,9 +10,57 @@ recompiling.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
 import optax
 
 from maskrcnn_tf2_tpu.config import MaskRCNNConfig
+
+
+class FtrlState(NamedTuple):
+    n: optax.Updates  # accumulated squared gradients
+    z: optax.Updates  # linear term
+
+
+def ftrl(
+    learning_rate: float,
+    learning_rate_power: float = -0.5,
+    l1: float = 0.0,
+    l2: float = 0.0,
+) -> optax.GradientTransformation:
+    """FTRL-proximal (McMahan et al.) — optax has no built-in; the reference
+    exposes tf.keras Ftrl in its optimizer zoo (training.py:151-177)."""
+
+    def init(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return FtrlState(n=zeros, z=jax.tree.map(jnp.zeros_like, params))
+
+    def update(grads, state, params):
+        assert params is not None, "ftrl requires params"
+
+        def per_leaf(g, n, z, p):
+            g = g.astype(jnp.float32)
+            n_new = n + g * g
+            sigma = (n_new**-learning_rate_power - n**-learning_rate_power) / learning_rate
+            z_new = z + g - sigma * p.astype(jnp.float32)
+            denom = n_new**-learning_rate_power / learning_rate + 2.0 * l2
+            p_new = jnp.where(
+                jnp.abs(z_new) <= l1,
+                0.0,
+                -(z_new - jnp.sign(z_new) * l1) / denom,
+            )
+            return p_new.astype(p.dtype) - p, n_new, z_new
+
+        out = jax.tree.map(per_leaf, grads, state.n, state.z, params)
+        updates = jax.tree.map(lambda t: t[0], out, is_leaf=lambda x: isinstance(x, tuple))
+        n = jax.tree.map(lambda t: t[1], out, is_leaf=lambda x: isinstance(x, tuple))
+        z = jax.tree.map(lambda t: t[2], out, is_leaf=lambda x: isinstance(x, tuple))
+        return updates, FtrlState(n=n, z=z)
+
+    return optax.GradientTransformation(init, update)
+
 
 _OPTIMIZERS = {
     "adam": optax.adam,
@@ -21,6 +69,7 @@ _OPTIMIZERS = {
     "adagrad": optax.adagrad,
     "sgd": optax.sgd,
     "rmsprop": optax.rmsprop,
+    "ftrl": ftrl,
 }
 
 

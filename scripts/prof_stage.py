@@ -1,4 +1,5 @@
-import sys, time, numpy as np, jax, jax.numpy as jnp
+import sys, os, time, numpy as np, jax, jax.numpy as jnp
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 from maskrcnn_tf2_tpu.config import MaskRCNNConfig

@@ -107,3 +107,11 @@ def test_cocoeval_localization_quality_spread():
     assert stats["AP50"] == 1.0
     assert stats["AP75"] == 0.0
     assert 0 < stats["AP"] < 1.0
+
+
+def test_cocoeval_class_with_no_detections():
+    ev = CocoEvalLite(use_masks=False)
+    gt_boxes = np.array([[0, 0, 16, 16]], np.float64)
+    ev.add_image(gt_boxes, np.array([2]), np.zeros((0, 4)), np.zeros((0,), np.int64), np.zeros((0,)))
+    stats = ev.summarize(verbose=False)
+    assert stats["AP"] == 0.0
