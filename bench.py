@@ -33,7 +33,7 @@ def main():
         jax.devices()[0]
     )
     if on_tpu:
-        image_size, batch, backbone = 1024, 4, "resnet101"
+        image_size, batch, backbone = 1024, 8, "resnet101"
     else:  # CPU smoke fallback so the script always produces a line
         image_size, batch, backbone = 256, 1, "resnet18"
 
