@@ -7,6 +7,7 @@ batched, jit-cached predictor.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, List, Optional
 
 import jax
@@ -20,22 +21,52 @@ from maskrcnn_tf2_tpu.ops.image import parse_image_meta
 
 
 class Predictor:
-    """Batched fixed-shape inference with host unmolding."""
+    """Batched fixed-shape inference with host unmolding.
 
-    def __init__(self, config: MaskRCNNConfig, variables):
+    ``data_parallel=True`` shards the batch over every visible device
+    (replicated params, images split on the ``data`` mesh axis) — the
+    multi-chip batched serving path; the reference has no equivalent.
+    """
+
+    def __init__(self, config: MaskRCNNConfig, variables, data_parallel: bool = False):
         from maskrcnn_tf2_tpu.utils.compile_cache import enable as enable_cache
 
         enable_cache()
         self.config = config
         self.model = MaskRCNN(config)
+        self.mesh = None
+        if data_parallel and len(jax.devices()) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from maskrcnn_tf2_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(axis_name=config.mesh_data_axis)
+            batch_sharding = NamedSharding(self.mesh, P(config.mesh_data_axis))
+            replicated = NamedSharding(self.mesh, P())
+            variables = jax.device_put(variables, replicated)
+
+            @partial(
+                jax.jit,
+                in_shardings=(replicated, batch_sharding, batch_sharding),
+                out_shardings=(batch_sharding, batch_sharding),
+            )
+            def _infer(variables, images, meta):
+                out = self.model.apply(variables, images, meta, train=False)
+                return out["detections"], out["mrcnn_masks"]
+
+        else:
+
+            @jax.jit
+            def _infer(variables, images, meta):
+                out = self.model.apply(variables, images, meta, train=False)
+                return out["detections"], out["mrcnn_masks"]
+
         self.variables = variables
-
-        @jax.jit
-        def _infer(variables, images, meta):
-            out = self.model.apply(variables, images, meta, train=False)
-            return out["detections"], out["mrcnn_masks"]
-
         self._infer = _infer
+
+    @property
+    def num_devices(self) -> int:
+        return len(self.mesh.devices.flat) if self.mesh is not None else 1
 
     def detect(self, images: List[np.ndarray]) -> List[Dict[str, np.ndarray]]:
         """Run detection on a list of RGB uint8 images of any sizes."""
@@ -45,9 +76,17 @@ class Predictor:
             molded.append(m)
             metas.append(meta)
             originals.append(img.shape)
-        batch_images = jnp.asarray(np.stack(molded))
-        batch_meta = jnp.asarray(np.stack(metas))
-        detections, masks = self._infer(self.variables, batch_images, batch_meta)
+        batch_images = np.stack(molded)
+        batch_meta = np.stack(metas)
+        n_real = batch_images.shape[0]
+        d = self.num_devices
+        if n_real % d:  # pad batch to a device multiple for even sharding
+            pad = d - n_real % d
+            batch_images = np.concatenate([batch_images, np.zeros((pad,) + batch_images.shape[1:], batch_images.dtype)])
+            batch_meta = np.concatenate([batch_meta, np.tile(batch_meta[-1:], (pad, 1))])
+        detections, masks = self._infer(
+            self.variables, jnp.asarray(batch_images), jnp.asarray(batch_meta)
+        )
         detections = np.asarray(detections)
         masks = np.asarray(masks)
 

@@ -95,3 +95,21 @@ def test_map_plumbing(trained):
         r["masks"],
     )
     assert 0.0 <= ap <= 1.0
+
+
+def test_data_parallel_predictor(trained):
+    import jax
+
+    ds, state, _ = trained
+    pred = Predictor(
+        CFG,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        data_parallel=True,
+    )
+    assert pred.num_devices == len(jax.devices())
+    # 3 images over 8 devices exercises batch padding
+    images = [ds.load_image(i) for i in range(3)]
+    results = pred.detect(images)
+    assert len(results) == 3
+    for r in results:
+        assert r["rois"].shape[1] == 4
