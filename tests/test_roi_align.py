@@ -156,3 +156,26 @@ def test_pyramid_roi_align_matmul_matches_gather(rng):
         # precision — compare at bf16 tolerance
         np.testing.assert_allclose(m, a, rtol=2e-2, atol=2e-2)
         np.testing.assert_allclose(m[0, -1], 0.0)  # padding roi pools zeros
+
+
+def test_pallas_roi_align_on_tpu_if_available():
+    import os
+
+    import jax as _jax
+
+    if _jax.devices()[0].platform not in ("tpu", "axon"):
+        import pytest
+
+        pytest.skip("needs TPU")
+    from maskrcnn_tf2_tpu.kernels.roi_align_pallas import pyramid_roi_align_pallas
+    from maskrcnn_tf2_tpu.ops.roi_align import pyramid_roi_align_gather
+
+    rng_ = np.random.RandomState(0)
+    feats = [jnp.asarray(rng_.randn(1, s, s, 128).astype(np.float32)) for s in (64, 32, 16, 8)]
+    # moderate-aspect boxes: within the kernel's exactness envelope
+    y1 = rng_.uniform(0, 0.5, (1, 8)); x1 = rng_.uniform(0, 0.5, (1, 8))
+    hw = rng_.uniform(0.08, 0.3, (1, 8))
+    boxes = np.stack([y1, x1, y1 + hw, x1 + hw * rng_.uniform(0.7, 1.4)], -1).astype(np.float32)
+    got = np.asarray(pyramid_roi_align_pallas(feats, jnp.asarray(boxes), 7, (256, 256, 3)))
+    want = np.asarray(pyramid_roi_align_gather(feats, jnp.asarray(boxes), 7, (256, 256, 3)))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
