@@ -51,20 +51,39 @@ class DataLoader:
     def _sample(self, idx: int) -> Optional[Dict[str, np.ndarray]]:
         return load_image_gt(self.dataset, self.config, idx, self.augment_fn)
 
-    def epoch(self) -> Iterator[Dict[str, np.ndarray]]:
-        """One epoch of batches."""
+    def epoch(self, num_workers: int = 4) -> Iterator[Dict[str, np.ndarray]]:
+        """One epoch of batches. Decode/resize runs in a small thread pool
+        (cv2 releases the GIL) — the replacement for the reference's
+        multiprocessing worker queue (training.py:46-79)."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
         buf = []
-        for idx in order:
-            sample = self._sample(int(idx))
-            if sample is None:
-                continue
-            buf.append(sample)
-            if len(buf) == self.batch_size:
-                yield self._collate(buf)
-                buf = []
+        window = max(2 * num_workers, self.batch_size)
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            pending: deque = deque()
+            it = iter(order)
+
+            def top_up():
+                while len(pending) < window:
+                    nxt = next(it, None)
+                    if nxt is None:
+                        break
+                    pending.append(pool.submit(self._sample, int(nxt)))
+
+            top_up()
+            while pending:
+                sample = pending.popleft().result()
+                top_up()
+                if sample is None:
+                    continue
+                buf.append(sample)
+                if len(buf) == self.batch_size:
+                    yield self._collate(buf)
+                    buf = []
 
     def __iter__(self):
         """Endless stream (reference wraps the generator in .repeat())."""
