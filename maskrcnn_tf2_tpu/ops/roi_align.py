@@ -110,10 +110,13 @@ def pyramid_roi_align_matmul(
     p = pool_size
 
     # Chunk the ROI axis so the [B, chunk, P, W, C] contraction intermediate
-    # stays ~<300 MB (N=1000 x W=256 x C=256 would otherwise materialize GBs).
+    # stays bounded (N=1000 x W=256 x C=256 would otherwise materialize GBs).
+    # The lax.map chunk loop serializes and its backward adds copies
+    # (~7 ms/step profiled), so the budget is generous: training-scale
+    # (N<=200, W<=128) stays single-chunk.
     max_w = max(f.shape[2] for f in features)
     c = features[0].shape[-1]
-    budget = 300 * 1024 * 1024
+    budget = 1536 * 1024 * 1024
     chunk = max(32, min(n, budget // max(1, b * p * max_w * c * 2)))
     if n > chunk:
         pad = (-n) % chunk
