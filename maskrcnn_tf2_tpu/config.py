@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 import json
-from typing import Any, Mapping, Sequence, Tuple
+from typing import Any, Mapping, Tuple
 
 # Default 2-class (background + balloon) dictionary, matching the reference's
 # CLASS_DICT at src/common/config.py:6.

@@ -11,7 +11,7 @@ augmentation and RPN-target building run on device
 from __future__ import annotations
 
 import random
-from typing import Optional, Tuple
+from typing import Optional
 
 import cv2
 import numpy as np

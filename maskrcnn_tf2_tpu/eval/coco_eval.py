@@ -11,8 +11,7 @@ per-class matching honoring crowd (ignore) ground truth, maxDets=100.
 from __future__ import annotations
 
 import time
-from collections import defaultdict
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 

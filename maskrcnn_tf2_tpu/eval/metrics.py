@@ -7,7 +7,7 @@ Same semantics as the reference's ``src/evaluating.py``:
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 

@@ -19,11 +19,6 @@ Both export the same contract the reference's engines expose:
 
 from __future__ import annotations
 
-import os
-from typing import Tuple
-
-import numpy as np
-
 from maskrcnn_tf2_tpu.config import MaskRCNNConfig
 
 

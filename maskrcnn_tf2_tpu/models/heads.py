@@ -13,7 +13,7 @@ batched MXU matmul instead of N small ones.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ Anchors are a host-side constant folded into the jitted graph
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import flax.linen as nn
 import jax

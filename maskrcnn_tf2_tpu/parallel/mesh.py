@@ -8,7 +8,7 @@ reserved for optional tensor sharding of the wide FC head.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

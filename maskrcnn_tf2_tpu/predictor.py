@@ -8,7 +8,7 @@ batched, jit-cached predictor.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -17,7 +17,6 @@ import numpy as np
 from maskrcnn_tf2_tpu.config import MaskRCNNConfig
 from maskrcnn_tf2_tpu.export.inference import process_input, unmold_detections
 from maskrcnn_tf2_tpu.models import MaskRCNN
-from maskrcnn_tf2_tpu.ops.image import parse_image_meta
 
 
 class Predictor:

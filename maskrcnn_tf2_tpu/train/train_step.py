@@ -11,13 +11,11 @@ non-finite-guard — is one XLA program. Data parallelism is
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from maskrcnn_tf2_tpu.config import MaskRCNNConfig
 from maskrcnn_tf2_tpu.losses import compute_losses, l2_reg_loss
