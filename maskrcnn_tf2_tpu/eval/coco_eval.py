@@ -1,11 +1,28 @@
 """COCO-style evaluation (AP@[.5:.95], AP50, AP75, area breakdown) — no
-pycocotools dependency.
+pycocotools dependency, but pycocotools-exact semantics.
 
 Fulfils the role of the reference's ``evaluate_coco`` + pycocotools
-``COCOeval`` (samples/coco/coco.py:445-521): run the model over a dataset,
-collect per-image results (``build_coco_results`` equivalent) and compute the
-standard COCO metrics with 101-point precision interpolation, greedy
-per-class matching honoring crowd (ignore) ground truth, maxDets=100.
+``COCOeval`` (samples/coco/coco.py:445-521): collect per-image results
+(``build_coco_results`` equivalent) and compute the standard COCO metrics.
+
+Semantics matched to pycocotools cocoeval.py (validated by the golden tests
+in tests/test_cocoeval_golden.py):
+  * greedy per-(image, class) matching, detections in score order, ground
+    truth visited non-ignored-first; a detection prefers ANY non-ignored gt
+    over every ignored gt (COCOeval's early ``break``), ties on IoU go to
+    the later gt in visit order;
+  * a matched gt is consumed even when it is ignored (COCOeval sets
+    ``gtm`` unconditionally); only crowd gt may absorb multiple detections;
+  * crowd IoU uses the detection area as denominator;
+  * gt ignore = iscrowd OR annotation *segmentation* area outside the range
+    (COCOeval reads ``gt['area']``, the segmentation area, for BOTH bbox and
+    segm evaluation — NOT the bbox area);
+  * dt area is bbox area for bbox eval and mask area for segm eval
+    (COCO.loadRes semantics); an UNMATCHED detection whose area is outside
+    the range is ignored, a matched one is not;
+  * precision = tp/(tp+fp+eps), 101-point interpolation via
+    ``searchsorted(rc, recall_points, side='left')``, monotone envelope;
+    classes with no in-range gt are excluded from the mean (NaN ≡ -1).
 """
 
 from __future__ import annotations
@@ -25,6 +42,7 @@ AREA_RANGES = {
     "medium": (32.0**2, 96.0**2),
     "large": (96.0**2, 1e10),
 }
+AREA_KEYS = ("all", "small", "medium", "large")
 
 
 def _crowd_adjusted_iou(dt_boxes, gt_boxes, iscrowd, dt_masks=None, gt_masks=None):
@@ -55,22 +73,72 @@ def _crowd_adjusted_iou(dt_boxes, gt_boxes, iscrowd, dt_masks=None, gt_masks=Non
     return iou
 
 
+def _argmax_last(values: np.ndarray, mask: np.ndarray) -> int:
+    """Index of the max of values[mask]; ties resolved to the LAST index
+    (COCOeval replaces its best match on >=, so later gts win ties)."""
+    idx = np.flatnonzero(mask)
+    v = values[idx]
+    return int(idx[len(v) - 1 - int(np.argmax(v[::-1]))])
+
+
+def _match_image(iou, dt_out_of_range, gt_ignore, iscrowd):
+    """COCOeval.evaluateImg matching for one (image, class, area range).
+
+    iou: [D, G]; returns (dt_matched[T, D], dt_ignored[T, D]).
+    """
+    t = len(IOU_THRESHOLDS)
+    d, g = iou.shape
+    dt_matched = np.zeros((t, d), bool)
+    dt_ignored = np.zeros((t, d), bool)
+    if d == 0:
+        return dt_matched, dt_ignored
+    if g == 0:
+        dt_ignored[:] = dt_out_of_range[None, :]
+        return dt_matched, dt_ignored
+    not_ignored = ~gt_ignore
+    for ti, thr in enumerate(IOU_THRESHOLDS):
+        gt_used = np.zeros(g, bool)
+        for di in range(d):
+            avail = ~gt_used | iscrowd
+            cand = (iou[di] >= thr) & avail
+            cand_reg = cand & not_ignored
+            if cand_reg.any():
+                best = _argmax_last(iou[di], cand_reg)
+                dt_matched[ti, di] = True
+                gt_used[best] = True
+                continue
+            cand_ig = cand & gt_ignore
+            if cand_ig.any():
+                # matched to an ignored gt: detection ignored, gt consumed
+                # (COCOeval sets gtm unconditionally).
+                best = _argmax_last(iou[di], cand_ig)
+                dt_ignored[ti, di] = True
+                gt_used[best] = True
+            else:
+                dt_ignored[ti, di] = dt_out_of_range[di]
+    return dt_matched, dt_ignored
+
+
 class CocoEvalLite:
     """Accumulates per-image detections + GT, computes COCO metrics.
 
     Usage:
       ev = CocoEvalLite(use_masks=True)
       ev.add_image(gt_boxes, gt_class_ids, dt_boxes, dt_class_ids, dt_scores,
-                   gt_masks=..., dt_masks=...)   # crowd gt = negative ids
+                   gt_masks=..., dt_masks=..., gt_areas=...)  # crowd gt = negative ids
       stats = ev.summarize()
+
+    ``gt_areas`` should be the annotation (segmentation) areas — COCOeval
+    uses them for the S/M/L ignore test in BOTH bbox and segm evaluation.
+    Defaults: mask areas when gt_masks given, else bbox areas.
     """
 
     def __init__(self, use_masks: bool = False, max_dets: int = 100):
         self.use_masks = use_masks
         self.max_dets = max_dets
-        # per (class, image): list of match records
         self._images: List[Dict] = []
         self._classes: set = set()
+        self._cache = None  # per-(class, area) accumulation inputs
 
     def add_image(
         self,
@@ -81,11 +149,20 @@ class CocoEvalLite:
         dt_scores: np.ndarray,
         gt_masks: Optional[np.ndarray] = None,  # [H, W, G]
         dt_masks: Optional[np.ndarray] = None,  # [H, W, D]
+        gt_areas: Optional[np.ndarray] = None,  # annotation (segm) areas
     ):
+        gt_boxes = np.asarray(gt_boxes, np.float64)
+        if gt_areas is not None:
+            gt_areas = np.asarray(gt_areas, np.float64)
+        elif gt_masks is not None:
+            gt_areas = gt_masks.astype(bool).sum(axis=(0, 1)).astype(np.float64)
+        else:
+            gt_areas = (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1])
         self._images.append(
             dict(
-                gt_boxes=np.asarray(gt_boxes, np.float64),
+                gt_boxes=gt_boxes,
                 gt_class_ids=np.asarray(gt_class_ids, np.int64),
+                gt_areas=gt_areas,
                 dt_boxes=np.asarray(dt_boxes, np.float64),
                 dt_class_ids=np.asarray(dt_class_ids, np.int64),
                 dt_scores=np.asarray(dt_scores, np.float64),
@@ -93,94 +170,92 @@ class CocoEvalLite:
                 dt_masks=dt_masks,
             )
         )
-        self._classes.update(np.abs(gt_class_ids).tolist())
-        self._classes.update(dt_class_ids.tolist())
+        self._classes.update(np.abs(np.asarray(gt_class_ids, np.int64)).tolist())
+        self._classes.update(np.asarray(dt_class_ids, np.int64).tolist())
         self._classes.discard(0)
+        self._cache = None
 
     # ------------------------------------------------------------------
-    def _evaluate_image_class(self, im: Dict, cls: int, area_rng):
-        """Match dts to gts for one image+class. Returns (dt_scores,
-        dt_matched[T], dt_ignored[T], n_gt) where T = #IoU thresholds."""
-        gt_sel = np.abs(im["gt_class_ids"]) == cls
-        dt_sel = im["dt_class_ids"] == cls
-        gt_boxes = im["gt_boxes"][gt_sel]
-        iscrowd = im["gt_class_ids"][gt_sel] < 0
-        dt_boxes = im["dt_boxes"][dt_sel]
-        dt_scores = im["dt_scores"][dt_sel]
-
-        order = np.argsort(-dt_scores, kind="stable")[: self.max_dets]
-        dt_boxes = dt_boxes[order]
-        dt_scores = dt_scores[order]
-
-        gt_area = (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1])
-        gt_ignore = iscrowd | (gt_area < area_rng[0]) | (gt_area > area_rng[1])
-        dt_area = (dt_boxes[:, 2] - dt_boxes[:, 0]) * (dt_boxes[:, 3] - dt_boxes[:, 1])
-        dt_out_of_range = (dt_area < area_rng[0]) | (dt_area > area_rng[1])
-
-        n_gt = int((~gt_ignore).sum())
-        t = len(IOU_THRESHOLDS)
-        d = len(dt_boxes)
-        dt_matched = np.zeros((t, d), bool)
-        dt_ignored = np.zeros((t, d), bool)
-        if d == 0:
-            return dt_scores, dt_matched, dt_ignored, n_gt
-        if len(gt_boxes) == 0:
-            dt_ignored[:] = dt_out_of_range[None, :]
-            return dt_scores, dt_matched, dt_ignored, n_gt
-
-        gm = dm = None
-        if self.use_masks:
-            gm = im["gt_masks"][..., gt_sel]
-            dm = im["dt_masks"][..., dt_sel][..., order]
-        iou = _crowd_adjusted_iou(dt_boxes, gt_boxes, iscrowd, dm, gm)
-
-        # match ignored gt last: sort gt by (ignore, original order)
-        gt_order = np.argsort(gt_ignore, kind="stable")
-        for ti, thr in enumerate(IOU_THRESHOLDS):
-            gt_used = np.zeros(len(gt_boxes), bool)
-            for di in range(d):
-                best, best_iou = -1, thr
-                for gi in gt_order:
-                    # crowds may absorb multiple detections (pycocotools: the
-                    # "used" check is bypassed only for iscrowd gt)
-                    if gt_used[gi] and not iscrowd[gi]:
-                        continue
-                    if best > -1 and not gt_ignore[best] and gt_ignore[gi]:
-                        break  # can't improve: only ignored gts remain
-                    if iou[di, gi] < best_iou:
-                        continue
-                    best, best_iou = gi, iou[di, gi]
-                if best > -1:
-                    if gt_ignore[best]:
-                        dt_ignored[ti, di] = True
-                    else:
-                        dt_matched[ti, di] = True
-                        gt_used[best] = True
+    def _evaluate_all(self):
+        """Evaluate every (image, class) once — IoU computed a single time
+        and the matching repeated per area range (COCOeval.evaluate does the
+        same: ious per (img, cat), evaluateImg per (img, cat, area))."""
+        classes = sorted(self._classes)
+        cls_index = {c: i for i, c in enumerate(classes)}
+        # per class, per area: lists of per-image (scores, matched, ignored) + n_gt
+        acc = {
+            a: [dict(scores=[], matched=[], ignored=[], n_gt=0) for _ in classes]
+            for a in AREA_KEYS
+        }
+        for im in self._images:
+            gt_ids = im["gt_class_ids"]
+            dt_ids = im["dt_class_ids"]
+            present = set(np.abs(gt_ids).tolist()) | set(dt_ids.tolist())
+            present.discard(0)
+            for cls in present:
+                ci = cls_index[cls]
+                gt_sel = np.abs(gt_ids) == cls
+                dt_sel = dt_ids == cls
+                gt_boxes = im["gt_boxes"][gt_sel]
+                gt_areas = im["gt_areas"][gt_sel]
+                iscrowd = gt_ids[gt_sel] < 0
+                dt_boxes = im["dt_boxes"][dt_sel]
+                dt_scores = im["dt_scores"][dt_sel]
+                order = np.argsort(-dt_scores, kind="stable")[: self.max_dets]
+                dt_boxes = dt_boxes[order]
+                dt_scores = dt_scores[order]
+                gm = dm = None
+                if self.use_masks:
+                    gm = im["gt_masks"][..., gt_sel]
+                    dm = im["dt_masks"][..., dt_sel][..., order]
+                    # COCO.loadRes: segm dt area = mask area
+                    dt_areas = dm.astype(bool).sum(axis=(0, 1)).astype(np.float64)
                 else:
-                    dt_ignored[ti, di] = dt_out_of_range[di]
-        return dt_scores, dt_matched, dt_ignored, n_gt
+                    dt_areas = (dt_boxes[:, 2] - dt_boxes[:, 0]) * (
+                        dt_boxes[:, 3] - dt_boxes[:, 1]
+                    )
+                iou = _crowd_adjusted_iou(dt_boxes, gt_boxes, iscrowd, dm, gm)
+                for area in AREA_KEYS:
+                    lo, hi = AREA_RANGES[area]
+                    gt_ignore = iscrowd | (gt_areas < lo) | (gt_areas > hi)
+                    dt_oor = (dt_areas < lo) | (dt_areas > hi)
+                    # visit non-ignored gts first, original order within group
+                    gt_order = np.argsort(gt_ignore, kind="stable")
+                    matched, ignored = _match_image(
+                        iou[:, gt_order],
+                        dt_oor,
+                        gt_ignore[gt_order],
+                        iscrowd[gt_order],
+                    )
+                    rec = acc[area][ci]
+                    rec["scores"].append(dt_scores)
+                    rec["matched"].append(matched)
+                    rec["ignored"].append(ignored)
+                    rec["n_gt"] += int((~gt_ignore).sum())
+        self._cache = (classes, acc)
+        return self._cache
 
     def _accumulate(self, area: str = "all"):
         """Per-class precision-recall over all images -> AP[t, class]."""
-        area_rng = AREA_RANGES[area]
-        classes = sorted(self._classes)
+        if self._cache is None:
+            self._evaluate_all()
+        classes, acc = self._cache
         t = len(IOU_THRESHOLDS)
         ap = np.full((t, len(classes)), np.nan)
         recall = np.full((t, len(classes)), np.nan)
-        for ci, cls in enumerate(classes):
-            scores_all, matched_all, ignored_all = [], [], []
-            n_gt_total = 0
-            for im in self._images:
-                s, m, ig, n_gt = self._evaluate_image_class(im, cls, area_rng)
-                scores_all.append(s)
-                matched_all.append(m)
-                ignored_all.append(ig)
-                n_gt_total += n_gt
-            if n_gt_total == 0:
+        for ci in range(len(classes)):
+            rec = acc[area][ci]
+            if rec["n_gt"] == 0:
                 continue
-            scores = np.concatenate(scores_all)
-            matched = np.concatenate(matched_all, axis=1)
-            ignored = np.concatenate(ignored_all, axis=1)
+            n_gt_total = rec["n_gt"]
+            if rec["scores"]:
+                scores = np.concatenate(rec["scores"])
+                matched = np.concatenate(rec["matched"], axis=1)
+                ignored = np.concatenate(rec["ignored"], axis=1)
+            else:
+                scores = np.zeros(0)
+                matched = np.zeros((t, 0), bool)
+                ignored = np.zeros((t, 0), bool)
             order = np.argsort(-scores, kind="stable")
             matched = matched[:, order]
             ignored = ignored[:, order]
@@ -189,7 +264,7 @@ class CocoEvalLite:
                 tp = np.cumsum(matched[ti][keep])
                 fp = np.cumsum(~matched[ti][keep])
                 rc = tp / n_gt_total
-                pr = tp / np.maximum(tp + fp, 1e-10)
+                pr = tp / (tp + fp + np.spacing(1))
                 # monotone non-increasing precision envelope
                 for i in range(len(pr) - 2, -1, -1):
                     pr[i] = max(pr[i], pr[i + 1])
@@ -231,7 +306,10 @@ def evaluate_dataset(
     verbose: bool = True,
 ) -> Dict[str, Dict[str, float]]:
     """Run the predictor over a dataset and compute bbox+segm COCO metrics
-    (the reference's evaluate_coco flow, coco.py:472-521)."""
+    (the reference's evaluate_coco flow, coco.py:472-521).
+
+    The final ragged batch is padded to ``config.batch_size`` (by repeating
+    the last image) so the jitted predictor never sees a new batch shape."""
     from maskrcnn_tf2_tpu.data.transforms import extract_bboxes
 
     ev_box = CocoEvalLite(use_masks=False)
@@ -242,12 +320,20 @@ def evaluate_dataset(
     for start in range(0, n, bs):
         idxs = list(range(start, min(start + bs, n)))
         images = [dataset.load_image(i) for i in idxs]
+        while len(images) < bs:  # pad ragged tail — no recompile
+            images.append(images[-1])
         results = predictor.detect(images)
         for i, r in zip(idxs, results):
             gt_masks, gt_ids = dataset.load_mask(i)
             gt_boxes = extract_bboxes(gt_masks).astype(np.float64)
+            gt_areas = gt_masks.astype(bool).sum(axis=(0, 1)).astype(np.float64)
             ev_box.add_image(
-                gt_boxes, gt_ids, r["rois"].astype(np.float64), r["class_ids"], r["scores"]
+                gt_boxes,
+                gt_ids,
+                r["rois"].astype(np.float64),
+                r["class_ids"],
+                r["scores"],
+                gt_areas=gt_areas,
             )
             if ev_segm is not None:
                 dt_masks = r["masks"].astype(np.uint8)
@@ -259,6 +345,7 @@ def evaluate_dataset(
                     r["scores"],
                     gt_masks=gt_masks.astype(np.uint8),
                     dt_masks=dt_masks,
+                    gt_areas=gt_areas,
                 )
     if verbose:
         print(f"evaluated {n} images in {time.time() - t0:.1f}s")

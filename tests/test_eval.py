@@ -80,7 +80,8 @@ def test_cocoeval_crowd_is_ignored():
     ev.add_image(gt_boxes, gt_ids, dt_boxes, dt_ids, np.array([0.9, 0.8]))
     stats = ev.summarize(verbose=False)
     # crowd det is ignored (neither TP nor FP) -> AP stays 1.0
-    assert stats["AP"] == 1.0
+    # (pycocotools' +np.spacing(1) eps makes precision 1-1e-16, not 1.0)
+    assert abs(stats["AP"] - 1.0) < 1e-12
 
 
 def test_cocoeval_fp_hurts():
@@ -104,7 +105,7 @@ def test_cocoeval_localization_quality_spread():
     dt_boxes = np.array([[0, 0, 20, 14.0]], np.float64)
     ev.add_image(gt_boxes, gt_ids, dt_boxes, gt_ids, np.array([0.9]))
     stats = ev.summarize(verbose=False)
-    assert stats["AP50"] == 1.0
+    assert abs(stats["AP50"] - 1.0) < 1e-12
     assert stats["AP75"] == 0.0
     assert 0 < stats["AP"] < 1.0
 
