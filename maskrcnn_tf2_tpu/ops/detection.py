@@ -8,9 +8,12 @@ Fixed-shape replacement for the reference ``DetectionLayer.refine_detections``
 * per-class NMS is computed as ONE class-offset NMS: each box is translated
   by ``class_id * 2`` before suppression, so boxes of different classes can
   never overlap — exactly equivalent to looping per-class greedy NMS (the
-  reference's ``_nms_keep_func`` per unique class, mrcnn_layers.py:440-468),
-  modulo the reference's per-class cap at ``detection_max_instances`` which
-  only differs when a single class keeps > max_instances survivors;
+  reference's ``_nms_keep_func`` per unique class, mrcnn_layers.py:440-468).
+  The reference's per-class cap at ``detection_max_instances`` followed by a
+  global top-``detection_max_instances`` is provably identical to the global
+  cap used here: the cap can only drop a class's (max+1)-th best survivor,
+  which max same-class boxes already outscore, so it can never reach the
+  global top-k (pinned by tests/test_funnel_parity.py::test_per_class_cap_corner);
 * output is the reference contract: ``[B, detection_max_instances, 6]`` =
   (y1, x1, y2, x2, class_id, score) in normalized coordinates, zero-padded.
 """
