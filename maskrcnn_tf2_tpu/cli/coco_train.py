@@ -35,6 +35,21 @@ def build_argparser():
     p.add_argument("--mini_masks", action="store_true")
     p.add_argument("--checkpoints_dir", default="logs")
     p.add_argument("--no_augment", action="store_true")
+    p.add_argument(
+        "--weights", default=None, dest="backbone_init_weights",
+        help="pretrained backbone: 'imagenet' or a .npz/.pt/.pth path "
+             "(reference backbone_init_weights, config.py:163)",
+    )
+    p.add_argument(
+        "--device_augment", action="store_true",
+        help="fused in-graph flip/scale/photometric augmentation "
+             "(replaces the host albumentations pipeline on the hot path)",
+    )
+    p.add_argument(
+        "--sample_cache", default=None,
+        help="directory for the pre-decoded npz sample cache "
+             "(lets one CPU core feed the chip; see scripts/bench_loader.py)",
+    )
     return p
 
 
@@ -55,6 +70,11 @@ def main(argv=None):
         optimizer=args.optimizer,
         use_mini_masks=args.mini_masks,
         checkpoints_dir=args.checkpoints_dir,
+        backbone_init_weights=args.backbone_init_weights,
+        augment_on_device=args.device_augment,
+        augment_scale_jitter=0.25 if args.device_augment else 0.0,
+        augment_photometric=0.2 if args.device_augment else 0.0,
+        sample_cache_dir=args.sample_cache,
     )
 
     train_ds = CocoDataset()
@@ -72,7 +92,13 @@ def main(argv=None):
     print(f"train: {len(train_ds)} images, val: {len(val_ds)} images, "
           f"{cfg.num_classes} classes, backbone={cfg.backbone}")
 
-    augment = None if args.no_augment else get_training_augmentation()
+    # device augment replaces the host pipeline on the hot path (host cv2
+    # augment also disables the sample cache — see DataLoader._sample)
+    augment = (
+        None
+        if (args.no_augment or args.device_augment)
+        else get_training_augmentation()
+    )
     train_model(cfg, train_ds, val_ds, augment_fn=augment)
 
 

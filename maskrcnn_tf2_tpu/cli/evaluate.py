@@ -55,7 +55,7 @@ def main(argv=None):
 
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     manager = ckpt_lib.make_manager(cfg)
-    state, epoch = ckpt_lib.restore(manager, state)
+    state, epoch, _ = ckpt_lib.restore(manager, state)
     if epoch == 0:
         print("WARNING: no checkpoint found — evaluating random weights")
 

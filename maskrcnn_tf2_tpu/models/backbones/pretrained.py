@@ -60,6 +60,9 @@ def load_npz_into_variables(variables, path: str, strict: bool = True):
     for key in data.files:
         coll, rest = key.split("/", 1)
         p = tuple(rest.split("/"))
+        if p not in out.get(coll, {}) and ("backbone",) + p in out.get(coll, {}):
+            # npz exported from a bare backbone, loading into the full model
+            p = ("backbone",) + p
         if p in out.get(coll, {}):
             expect = out[coll][p]
             arr = data[key]
@@ -118,6 +121,16 @@ def _torch_resnet_key(name: str) -> Tuple[Tuple[str, ...], str] | None:
         kind = {"weight": "scale", "bias": "bias",
                 "running_mean": "mean", "running_var": "var"}[leaf]
         return (base + ("bn",), kind)
+    # SE blocks (timm legacy_seresnet / classification_models style):
+    # layer{s}.{b}.se_module.fc{i} (1x1 conv) or .se.fc{i} (linear) ->
+    # our SqueezeExcite Dense fc{i} (models/backbones/resnet.py:26-42).
+    m = re.match(
+        r"layer(\d+)\.(\d+)\.(?:se_module|se)\.fc(\d)\.(weight|bias)", name
+    )
+    if m:
+        stage, block, idx, leaf = m.groups()
+        base = (f"stage{stage}_block{int(block) + 1}", "se", f"fc{idx}")
+        return (base + ("kernel" if leaf == "weight" else "bias",), "dense")
     return None
 
 
@@ -134,6 +147,11 @@ def convert_torch_resnet(state_dict) -> Dict[str, Dict]:
         arr = np.asarray(tensor)
         if kind == "conv":
             params[path] = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
+        elif kind == "dense":
+            # 1x1 conv [O, I, 1, 1] or linear [O, I] -> Dense kernel [I, O]
+            if path[-1] == "kernel":
+                arr = arr.reshape(arr.shape[0], arr.shape[1]).T
+            params[path] = arr
         elif kind == "scale":
             params[path + ("scale",)] = arr
         elif kind == "bias":
@@ -145,10 +163,180 @@ def convert_torch_resnet(state_dict) -> Dict[str, Dict]:
     return {"params": _unflatten(params), "batch_stats": _unflatten(stats)}
 
 
-def load_backbone_params(variables, source: str):
+# ---------------------------------------------------------------------------
+# torchvision MobileNetV2 state_dict -> our flax MobileNetV2
+# ---------------------------------------------------------------------------
+
+def _emit_conv_bn(params, stats, base_name, conv_arr=None, bn=None, depthwise=False):
+    """Write a {name}_conv / {name}_bn pair (mobilenet/efficientnet naming)."""
+    if conv_arr is not None:
+        params[(f"{base_name}_conv", "kernel")] = np.transpose(conv_arr, (2, 3, 1, 0))
+    if bn:
+        for leaf, arr in bn.items():
+            coll = params if leaf in ("scale", "bias") else stats
+            coll[(f"{base_name}_bn", leaf)] = arr
+
+
+_BN_LEAF = {"weight": "scale", "bias": "bias", "running_mean": "mean", "running_var": "var"}
+
+
+def _collect_torch_bn(sd, prefix):
+    out = {}
+    for tleaf, fleaf in _BN_LEAF.items():
+        key = f"{prefix}.{tleaf}"
+        if key in sd:
+            out[fleaf] = np.asarray(sd[key])
+    return out or None
+
+
+def convert_torch_mobilenet_v2(state_dict) -> Dict[str, Dict]:
+    """torchvision ``mobilenet_v2`` state_dict -> flax ``MobileNetV2`` pytrees.
+
+    torchvision layout: ``features.0`` = stem ConvBNReLU; ``features.1..17`` =
+    InvertedResidual blocks whose ``conv`` Sequential is either
+    [dw ConvBN, project conv, project bn] (expand == 1, block 1) or
+    [expand ConvBN, dw ConvBN, project conv, project bn]; ``features.18``
+    (the classifier's 1280-wide head conv) has no counterpart in the detector
+    backbone and is skipped. Ours: stem / block{0..16} with
+    expand_/dw_/project_ conv+bn (models/backbones/mobilenet.py:102-145).
+    """
+    sd = {k: v for k, v in state_dict.items()}
+    params: Dict[Tuple[str, ...], np.ndarray] = {}
+    stats: Dict[Tuple[str, ...], np.ndarray] = {}
+    _emit_conv_bn(
+        params, stats, "stem",
+        np.asarray(sd["features.0.0.weight"]),
+        _collect_torch_bn(sd, "features.0.1"),
+    )
+    for i in range(1, 18):
+        block = f"block{i - 1}"
+        has_expand = f"features.{i}.conv.1.0.weight" in sd
+        if has_expand:
+            groups = [("expand", "conv.0.0", "conv.0.1"),
+                      ("dw", "conv.1.0", "conv.1.1"),
+                      ("project", "conv.2", "conv.3")]
+        else:
+            groups = [("dw", "conv.0.0", "conv.0.1"),
+                      ("project", "conv.1", "conv.2")]
+        for ours, conv_key, bn_key in groups:
+            w = sd.get(f"features.{i}.{conv_key}.weight")
+            if w is None:
+                continue
+            sub_params: Dict[Tuple[str, ...], np.ndarray] = {}
+            _emit_conv_bn(
+                sub_params, stats_sub := {},
+                f"{ours}", np.asarray(w), _collect_torch_bn(sd, f"features.{i}.{bn_key}")
+            )
+            for p, v in sub_params.items():
+                params[(block,) + p] = v
+            for p, v in stats_sub.items():
+                stats[(block,) + p] = v
+    return {"params": _unflatten(params), "batch_stats": _unflatten(stats)}
+
+
+# ---------------------------------------------------------------------------
+# timm EfficientNet state_dict -> our flax EfficientNet
+# ---------------------------------------------------------------------------
+
+def convert_timm_efficientnet(state_dict) -> Dict[str, Dict]:
+    """timm ``efficientnet_b*`` state_dict -> flax ``EfficientNet`` pytrees.
+
+    timm layout: ``conv_stem``/``bn1`` stem; ``blocks.{s}.{b}`` MBConv with
+    ``conv_pw``/``bn1`` (expand), ``conv_dw``/``bn2``, ``se.conv_reduce``/
+    ``se.conv_expand`` (1x1 convs), ``conv_pwl``/``bn3`` (project); stage 0
+    (DepthwiseSeparableConv) has no expand and names dw/project as
+    ``conv_dw``/``bn1`` + ``conv_pw``/``bn2``. The final ``conv_head`` has no
+    backbone counterpart. Ours: stem / flat block{idx} with expand_/dw_/
+    project_ conv+bn and se_reduce/se_expand Dense
+    (models/backbones/efficientnet.py:76-140).
+    """
+    sd = {k: v for k, v in state_dict.items()}
+    params: Dict[Tuple[str, ...], np.ndarray] = {}
+    stats: Dict[Tuple[str, ...], np.ndarray] = {}
+    _emit_conv_bn(
+        params, stats, "stem", np.asarray(sd["conv_stem.weight"]),
+        _collect_torch_bn(sd, "bn1"),
+    )
+    # Flatten timm's per-stage block numbering to our global block index.
+    stage_blocks = []
+    s = 0
+    while f"blocks.{s}.0.conv_dw.weight" in sd or f"blocks.{s}.0.conv_pw.weight" in sd:
+        b = 0
+        while any(
+            f"blocks.{s}.{b}.{k}" in sd
+            for k in ("conv_dw.weight", "conv_pw.weight")
+        ):
+            stage_blocks.append((s, b))
+            b += 1
+        s += 1
+    for bidx, (s, b) in enumerate(stage_blocks):
+        pre = f"blocks.{s}.{b}"
+        block = f"block{bidx}"
+        has_expand = f"{pre}.conv_pwl.weight" in sd  # 3-conv MBConv
+        if has_expand:
+            groups = [("expand", "conv_pw", "bn1"),
+                      ("dw", "conv_dw", "bn2"),
+                      ("project", "conv_pwl", "bn3")]
+        else:  # DepthwiseSeparableConv: dw + pw(project)
+            groups = [("dw", "conv_dw", "bn1"), ("project", "conv_pw", "bn2")]
+        for ours, conv_key, bn_key in groups:
+            w = sd.get(f"{pre}.{conv_key}.weight")
+            if w is None:
+                continue
+            sub_p: Dict[Tuple[str, ...], np.ndarray] = {}
+            sub_s: Dict[Tuple[str, ...], np.ndarray] = {}
+            _emit_conv_bn(sub_p, sub_s, ours, np.asarray(w),
+                          _collect_torch_bn(sd, f"{pre}.{bn_key}"))
+            for p, v in sub_p.items():
+                params[(block,) + p] = v
+            for p, v in sub_s.items():
+                stats[(block,) + p] = v
+        for timm_se, ours_se in (("conv_reduce", "se_reduce"), ("conv_expand", "se_expand")):
+            w = sd.get(f"{pre}.se.{timm_se}.weight")
+            if w is not None:
+                arr = np.asarray(w)
+                params[(block, ours_se, "kernel")] = arr.reshape(
+                    arr.shape[0], arr.shape[1]
+                ).T
+            bkey = sd.get(f"{pre}.se.{timm_se}.bias")
+            if bkey is not None:
+                params[(block, ours_se, "bias")] = np.asarray(bkey)
+    return {"params": _unflatten(params), "batch_stats": _unflatten(stats)}
+
+
+def convert_torch_backbone(state_dict, backbone: str | None = None) -> Dict[str, Dict]:
+    """Dispatch a torch state_dict to the right converter, sniffing the
+    layout when ``backbone`` doesn't decide it."""
+    keys = set(state_dict.keys())
+    if any(k.startswith("conv_stem") for k in keys):
+        return convert_timm_efficientnet(state_dict)
+    if any(k.startswith("features.0.0") for k in keys):
+        return convert_torch_mobilenet_v2(state_dict)
+    return convert_torch_resnet(state_dict)
+
+
+def backbone_leaf_count(variables) -> int:
+    """Number of param/batch_stats leaves under the ``backbone`` submodule."""
+    n = 0
+    for coll in ("params", "batch_stats"):
+        sub = variables.get(coll, {})
+        if isinstance(sub, dict) and "backbone" in sub:
+            n += len(_flatten(sub["backbone"]))
+    return n
+
+
+def load_backbone_params(variables, source: str, backbone: str | None = None):
     """Load pretrained backbone weights from ``source`` into a model's
     variables (the backbone lives under ``.../backbone``). Returns
-    (new_variables, n_loaded)."""
+    (new_variables, n_loaded).
+
+    Sources: flax-path-keyed ``.npz`` (this framework's interchange format,
+    any backbone) or a torch ``.pt``/``.pth`` state_dict (torchvision
+    ResNet/ResNeXt, timm SE-ResNet, torchvision MobileNetV2, timm
+    EfficientNet — layout auto-sniffed). The reference equivalent is
+    ``backbone_init_weights: 'imagenet'`` resolved through keras
+    classification_models (resnet_models.py:292-297, config.py:163).
+    """
     if source.endswith(".npz"):
         return load_npz_into_variables(variables, source, strict=False)
     if source.endswith((".pt", ".pth")):
@@ -157,7 +345,7 @@ def load_backbone_params(variables, source: str):
         sd = torch.load(source, map_location="cpu", weights_only=True)
         if hasattr(sd, "state_dict"):
             sd = sd.state_dict()
-        converted = convert_torch_resnet(sd)
+        converted = convert_torch_backbone(sd, backbone)
         flat_new = {
             ("params",) + ("backbone",) + p: v
             for p, v in _flatten(converted["params"]).items()
@@ -181,5 +369,46 @@ def load_backbone_params(variables, source: str):
     raise ValueError(
         f"unsupported weight source '{source}' (.npz or torch .pt/.pth); "
         "'imagenet' auto-download is unavailable in a zero-egress environment —"
-        " convert a torchvision checkpoint offline with convert_torch_resnet()"
+        " convert a torchvision/timm checkpoint offline with convert_torch_backbone()"
     )
+
+
+def init_backbone_weights(variables, config):
+    """Consume ``config.backbone_init_weights`` (the reference's
+    ``backbone_init_weights`` knob, config.py:163): load pretrained backbone
+    weights into freshly initialized model variables and report coverage.
+
+    Accepts a filesystem path (.npz / .pt / .pth) or the literal 'imagenet',
+    which resolves to ``$MASKRCNN_TPU_WEIGHTS_DIR/{backbone}.npz`` (or
+    ``~/.cache/maskrcnn_tf2_tpu/weights/{backbone}.npz``) since this
+    environment cannot download. Raises if fewer than 90% of backbone leaves
+    are covered — a silent partial load would train a mostly-random backbone
+    while claiming pretrained init.
+    """
+    import os
+
+    source = config.backbone_init_weights
+    if source in (None, "", "none", "random"):
+        return variables, 0
+    if source == "imagenet":
+        root = os.environ.get(
+            "MASKRCNN_TPU_WEIGHTS_DIR",
+            os.path.expanduser("~/.cache/maskrcnn_tf2_tpu/weights"),
+        )
+        source = os.path.join(root, f"{config.backbone}.npz")
+        if not os.path.exists(source):
+            raise FileNotFoundError(
+                f"backbone_init_weights='imagenet' expects {source}; this "
+                "environment has no egress — place a converted checkpoint "
+                "there (save_backbone_npz / convert_torch_backbone)"
+            )
+    new_vars, loaded = load_backbone_params(variables, source, config.backbone)
+    total = backbone_leaf_count(variables)
+    if total and loaded < 0.9 * total:
+        raise ValueError(
+            f"pretrained load covered only {loaded}/{total} backbone leaves "
+            f"from '{source}' — wrong checkpoint for backbone "
+            f"'{config.backbone}'?"
+        )
+    print(f"loaded pretrained backbone: {loaded}/{total} leaves from {source}")
+    return new_vars, loaded
