@@ -106,11 +106,17 @@ def _nms_kernel(soa_ref, keep_ref, *, n: int, iou_threshold: float):
     jax.lax.fori_loop(0, num_tiles, tile_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("iou_threshold",))
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
 def greedy_keep_pallas(
-    boxes_s: jnp.ndarray, valid_s: jnp.ndarray, iou_threshold: float
+    boxes_s: jnp.ndarray,
+    valid_s: jnp.ndarray,
+    iou_threshold: float,
+    interpret: bool = False,
 ) -> jnp.ndarray:
-    """Keep-mask for score-sorted boxes [N, 4] (N % 128 == 0) via Pallas."""
+    """Keep-mask for score-sorted boxes [N, 4] (N % 128 == 0) via Pallas.
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU) — used
+    by CI to keep every kernel line covered without TPU hardware."""
     n = boxes_s.shape[0]
     assert n % TILE == 0, f"N must be a multiple of {TILE}"
     b = boxes_s.astype(jnp.float32)
@@ -133,5 +139,6 @@ def greedy_keep_pallas(
         out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(soa)
     return keep[0] > 0.5

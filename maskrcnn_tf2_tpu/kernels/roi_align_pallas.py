@@ -1,20 +1,25 @@
-"""Pallas TPU kernel: per-ROI patch-DMA ROIAlign (single FPN level).
+"""Pallas TPU kernel: EXACT per-ROI DMA ROIAlign (single FPN level).
 
 The third TRT-plugin equivalent (``PyramidROIAlign_TRT``,
-inference_optimize.py:168-198) as a native kernel: one grid step per ROI,
-double-buffered DMA of the ROI's bounding feature patch HBM->VMEM, then the
-separable bilinear contraction (Y @ patch @ X^T) on the MXU. ROIs not
-assigned to this level write zeros; summing the per-level outputs yields the
-full pyramid ROIAlign (each ROI is on exactly one level).
+inference_optimize.py:168-198) as a native kernel, exact for every box
+aspect ratio and scale (the TRT plugin is exact; so is this). One grid step
+per ROI with two DMA modes, selected per ROI on the host side:
 
-Approximation bound: the DMA patch is a static ``patch`` x ``patch+8`` window
-anchored at the box origin; sample points beyond it clamp to the patch edge.
-With the reference level-assignment formula a box's span on its level is
-~22 px, so the default ``patch=32`` is exact for aspect ratios up to ~2:1 and
-clamps more extreme slivers. Measured on v5e @1024/1000 ROIs/b8:
-18.2 ms vs 27.3 ms for the exact XLA gather — opt in with
-``MASKRCNN_TPU_ROIALIGN=pallas`` where the approximation is acceptable;
-the XLA paths remain the default and the exactness oracle.
+* **patch mode** — the ROI's sample grid fits a static ``PATCH_Y x PATCH_X``
+  window (true for the typical ROI: the FPN level formula bounds a box's
+  on-level scale to ~16-32 px, so only elongated boxes overflow): ONE
+  double-buffered DMA of the window, then the separable bilinear
+  contraction (Y @ patch @ X^T) on the MXU.
+* **strip mode** — any other geometry: ``P`` DMAs of ``[2, W, C]``
+  full-width row pairs (one per pooled row). Exact for arbitrarily tall
+  boxes (each output row only needs its two neighbor feature rows) and
+  arbitrarily wide boxes (the full row serves any x-span); the x
+  contraction is a hat-weight matmul over the whole row.
+
+ROIs not assigned to this level write zeros; summing the per-level outputs
+yields the full pyramid ROIAlign (each ROI is on exactly one level).
+Exactness is pinned against the XLA gather oracle at all aspect ratios in
+tests/test_pallas_interpret.py (no tolerance escape hatch).
 """
 
 from __future__ import annotations
@@ -26,30 +31,39 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+PATCH_Y = 32
+PATCH_X = 40  # 32 + 8 slack so the 8-aligned x origin still covers 31 px
+
 
 def _kernel(
     # scalar prefetch
-    y_start_ref,  # [G] int32 patch row origin per roi
-    x_start_ref,  # [G] int32
-    active_ref,  # [G] int32 1 if roi assigned to this level
+    y_start_ref,  # [G] int32 patch-mode row origin per roi
+    x_start_ref,  # [G] int32 patch-mode col origin (8-aligned)
+    row0_ref,  # [G, P] int32 strip-mode row-pair origins (<= H-2)
+    mode_ref,  # [G] int32: 0 = inactive, 1 = patch, 2 = strips
     # tensor inputs
-    feats_ref,  # [H, W, C] in ANY/HBM (per-image handled by caller loop)
-    ymat_ref,  # [G, P, PATCH] f32 interpolation rows (VMEM)
-    xmat_ref,  # [G, P, PATCH] f32
+    feats_ref,  # [H, W, C] in ANY/HBM (per-image handled by caller vmap)
+    ymat_ref,  # [G, P, PATCH_Y] f32 patch-mode row interpolation (VMEM block)
+    xmat_ref,  # [G, P, PATCH_X] f32 patch-mode col interpolation
+    tmat_ref,  # [G, P] f32 strip-mode within-pair fraction
+    wmat_ref,  # [G, P, W] f32 strip-mode full-width hat weights
     # output
     out_ref,  # [G, P, P, C] (VMEM block per grid step: [1, P, P, C])
     # scratch
-    patch,  # VMEM [2, PATCH, PATCH, C]
-    sem,  # DMA sems [2]
+    patch,  # VMEM [2, PATCH_Y, PATCH_X, C]
+    strips,  # VMEM [2, P, 2, W, C]
+    psem,  # DMA sems [2]
+    ssem,  # DMA sems [2, P]
     *,
     patch_y: int,
     patch_x: int,
     n_rois: int,
+    pool: int,
 ):
     g = pl.program_id(0)
     slot = jax.lax.rem(g, 2)
 
-    def start_dma(i, slot_i):
+    def patch_dma(i, slot_i):
         return pltpu.make_async_copy(
             feats_ref.at[
                 pl.ds(y_start_ref[i], patch_y),
@@ -57,49 +71,70 @@ def _kernel(
                 :,
             ],
             patch.at[slot_i],
-            sem.at[slot_i],
+            psem.at[slot_i],
         )
 
-    # warm-up: first step starts its own DMA; every step prefetches the next
+    def strip_dma(i, row, slot_i):
+        return pltpu.make_async_copy(
+            feats_ref.at[pl.ds(row0_ref[i, row], 2), :, :],
+            strips.at[slot_i, row],
+            ssem.at[slot_i, row],
+        )
+
+    def start_dmas(i, slot_i):
+        @pl.when(mode_ref[i] == 1)
+        def _():
+            patch_dma(i, slot_i).start()
+
+        @pl.when(mode_ref[i] == 2)
+        def _():
+            for r in range(pool):
+                strip_dma(i, r, slot_i).start()
+
+    # warm-up: step 0 starts its own DMAs; every step prefetches the next ROI
     @pl.when(g == 0)
     def _():
-        @pl.when(active_ref[0] == 1)
-        def _():
-            start_dma(0, 0).start()
+        start_dmas(0, 0)
 
-    @pl.when((g + 1 < n_rois))
+    @pl.when(g + 1 < n_rois)
     def _():
-        @pl.when(active_ref[g + 1] == 1)
-        def _():
-            start_dma(g + 1, (g + 1) % 2).start()
+        start_dmas(g + 1, (g + 1) % 2)
 
-    @pl.when(active_ref[g] == 1)
+    def xcontract(rows, xm):
+        """rows [P, Wx, C] x xm [P, Wx] -> out [P, P, C] via one MXU matmul."""
+        wx, c = rows.shape[1], rows.shape[2]
+        out = jax.lax.dot_general(
+            xm,
+            rows.transpose(1, 0, 2).reshape(wx, pool * c),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [P(q), P(p)*C]
+        return out.reshape(pool, pool, c).transpose(1, 0, 2)
+
+    @pl.when(mode_ref[g] == 1)
     def _():
-        start_dma(g, slot).wait()
-        f = patch[slot].astype(jnp.float32)  # [PATCH, PATCH, C]
+        patch_dma(g, slot).wait()
+        f = patch[slot].astype(jnp.float32)  # [PATCH_Y, PATCH_X, C]
         c = f.shape[-1]
-        ym = ymat_ref[0]  # [P, PATCH] (block over G)
-        xm = xmat_ref[0]
+        ym = ymat_ref[0]  # [P, PATCH_Y]
         rows = jax.lax.dot_general(
             ym,
             f.reshape(patch_y, patch_x * c),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(ym.shape[0], patch_x, c)
-        # contract patch-x axis with xm: [P, PATCH, C] x [P, PATCH] -> [P, P, C]
-        out = jax.lax.dot_general(
-            xm,
-            rows.transpose(1, 0, 2).reshape(patch_x, -1),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [P, P*C]
-        out_ref[0] = (
-            out.reshape(xm.shape[0], ym.shape[0], c)
-            .transpose(1, 0, 2)
-            .astype(out_ref.dtype)
-        )
+        ).reshape(pool, patch_x, c)
+        out_ref[0] = xcontract(rows, xmat_ref[0]).astype(out_ref.dtype)
 
-    @pl.when(active_ref[g] == 0)
+    @pl.when(mode_ref[g] == 2)
+    def _():
+        for r in range(pool):
+            strip_dma(g, r, slot).wait()
+        f = strips[slot].astype(jnp.float32)  # [P, 2, W, C]
+        t = tmat_ref[0].reshape(pool, 1, 1)  # [P, 1, 1]
+        rows = f[:, 0] * (1.0 - t) + f[:, 1] * t  # [P, W, C]
+        out_ref[0] = xcontract(rows, wmat_ref[0]).astype(out_ref.dtype)
+
+    @pl.when(mode_ref[g] == 0)
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
@@ -109,13 +144,14 @@ def roi_align_level_pallas(
     boxes: jnp.ndarray,  # [G, 4] normalized
     active: jnp.ndarray,  # [G] bool (assigned to this level & valid)
     pool_size: int,
-    patch_size: int = 32,
+    interpret: bool = False,
 ) -> jnp.ndarray:
-    """[G, P, P, C] pooled features; zeros for inactive ROIs."""
+    """[G, P, P, C] pooled features; zeros for inactive ROIs. Exact."""
     h, w, c = feats.shape
     g = boxes.shape[0]
     p = pool_size
-    patch_size = min(patch_size, h, w)
+    patch_y = min(PATCH_Y, h)
+    patch_x = min(PATCH_X, w)
 
     boxes = boxes.astype(jnp.float32)
     y1, x1, y2, x2 = (boxes[:, i] for i in range(4))
@@ -126,49 +162,74 @@ def roi_align_level_pallas(
     else:
         ys = (0.5 * (y1 + y2))[:, None] * (h - 1)
         xs = (0.5 * (x1 + x2))[:, None] * (w - 1)
+    ys = jnp.clip(ys, 0.0, float(h - 1))
+    xs = jnp.clip(xs, 0.0, float(w - 1))
 
-    patch_x = min(patch_size + 8, w)
-    y_start = jnp.clip(jnp.floor(ys[:, 0]).astype(jnp.int32), 0, max(h - patch_size, 0))
-    # x (sublane dim of the (8,128)-tiled feature layout) must start 8-aligned
+    # ---- patch mode geometry (one window DMA) ----
+    y_start = jnp.clip(jnp.floor(ys[:, 0]).astype(jnp.int32), 0, max(h - patch_y, 0))
+    # x origin aligned down to the (8, 128) sublane tiling of the feature map
     x_start = jnp.clip(jnp.floor(xs[:, 0]).astype(jnp.int32), 0, max(w - patch_x, 0))
     x_start = (x_start // 8) * 8
-
-    # Interpolation matrices relative to the patch origin; samples beyond the
-    # patch clamp to its last row/col (hat weights collapse there).
-    rel_y = jnp.clip(ys - y_start[:, None].astype(jnp.float32), 0.0, patch_size - 1.0)
-    rel_x = jnp.clip(xs - x_start[:, None].astype(jnp.float32), 0.0, patch_x - 1.0)
+    rel_y = ys - y_start[:, None].astype(jnp.float32)
+    rel_x = xs - x_start[:, None].astype(jnp.float32)
+    # a ROI may use the patch iff every sample's 2-tap stencil lies inside
+    fits_patch = (
+        (rel_y[:, -1] <= patch_y - 1.0001)
+        & (rel_x[:, -1] <= patch_x - 1.0001)
+        & (rel_y[:, 0] >= 0.0)
+        & (rel_x[:, 0] >= 0.0)
+    )
     ymat = jnp.maximum(
-        0.0, 1.0 - jnp.abs(rel_y[:, :, None] - jnp.arange(patch_size, dtype=jnp.float32))
+        0.0, 1.0 - jnp.abs(rel_y[:, :, None] - jnp.arange(patch_y, dtype=jnp.float32))
     )  # [G, P, PATCH_Y]
     xmat = jnp.maximum(
         0.0, 1.0 - jnp.abs(rel_x[:, :, None] - jnp.arange(patch_x, dtype=jnp.float32))
     )  # [G, P, PATCH_X]
 
+    # ---- strip mode geometry (P row-pair DMAs) ----
+    row0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, max(h - 2, 0))  # [G, P]
+    tmat = ys - row0.astype(jnp.float32)  # in [0, 1]
+    wmat = jnp.maximum(
+        0.0, 1.0 - jnp.abs(xs[:, :, None] - jnp.arange(w, dtype=jnp.float32))
+    )  # [G, P, W]
+
+    mode = jnp.where(active, jnp.where(fits_patch, 1, 2), 0).astype(jnp.int32)
+
     out = pl.pallas_call(
-        functools.partial(_kernel, patch_y=patch_size, patch_x=patch_x, n_rois=g),
+        functools.partial(
+            _kernel, patch_y=patch_y, patch_x=patch_x, n_rois=g, pool=p
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(g,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),  # feats stay in HBM
-                pl.BlockSpec((1, p, patch_size), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, p, patch_y), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec((1, p, patch_x), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, p), lambda i, *_: (i, 0)),
+                pl.BlockSpec((1, p, w), lambda i, *_: (i, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, p, p, c), lambda i, *_: (i, 0, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, patch_size, patch_x, c), feats.dtype),
+                pltpu.VMEM((2, patch_y, patch_x, c), feats.dtype),
+                pltpu.VMEM((2, p, 2, w, c), feats.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2, p)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((g, p, p, c), feats.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
     )(
         y_start,
         x_start,
-        active.astype(jnp.int32),
+        row0,
+        mode,
         feats,
         ymat,
         xmat,
+        tmat,
+        wmat,
     )
     return out
 
@@ -179,6 +240,7 @@ def pyramid_roi_align_pallas(
     pool_size: int,
     image_shape,
     denominator: float = 244.0,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Full pyramid ROIAlign via the per-level Pallas kernel (sum of levels)."""
     from maskrcnn_tf2_tpu.ops.roi_align import roi_level_assignment
@@ -193,7 +255,9 @@ def pyramid_roi_align_pallas(
     for lvl, f in enumerate(features):
         active = (levels == lvl) & valid
         lvl_out = jax.vmap(
-            lambda fi, bi, ai: roi_align_level_pallas(fi, bi, ai, pool_size)
+            lambda fi, bi, ai: roi_align_level_pallas(
+                fi, bi, ai, pool_size, interpret=interpret
+            )
         )(f, boxes, active)
         out = lvl_out if out is None else out + lvl_out
     return out

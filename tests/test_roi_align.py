@@ -172,10 +172,14 @@ def test_pallas_roi_align_on_tpu_if_available():
 
     rng_ = np.random.RandomState(0)
     feats = [jnp.asarray(rng_.randn(1, s, s, 128).astype(np.float32)) for s in (64, 32, 16, 8)]
-    # moderate-aspect boxes: within the kernel's exactness envelope
+    # mixed aspects INCLUDING extreme slivers: the two-mode kernel is exact
+    # for all of them (patch mode for compact boxes, strip mode otherwise)
     y1 = rng_.uniform(0, 0.5, (1, 8)); x1 = rng_.uniform(0, 0.5, (1, 8))
     hw = rng_.uniform(0.08, 0.3, (1, 8))
     boxes = np.stack([y1, x1, y1 + hw, x1 + hw * rng_.uniform(0.7, 1.4)], -1).astype(np.float32)
+    boxes[0, 5] = [0.0, 0.4, 1.0, 0.43]  # 33:1 tall sliver
+    boxes[0, 6] = [0.4, 0.0, 0.43, 1.0]  # 1:33 wide sliver
+    boxes[0, 7] = [0.0, 0.0, 1.0, 1.0]  # full frame
     got = np.asarray(pyramid_roi_align_pallas(feats, jnp.asarray(boxes), 7, (256, 256, 3)))
     want = np.asarray(pyramid_roi_align_gather(feats, jnp.asarray(boxes), 7, (256, 256, 3)))
-    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
