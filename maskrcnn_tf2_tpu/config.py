@@ -107,6 +107,18 @@ class MaskRCNNConfig:
     log_per_steps: int = 5
     prefetch_size: int = 2  # device prefetch depth (replaces CPU worker queue)
 
+    # ---- device-side augmentation (SURVEY §2.10 TPU plan; the host-side
+    # albumentations-equivalent pipeline in data/augment.py remains for the
+    # heavy transforms). Runs fused inside the jitted train step. ----
+    augment_on_device: bool = False
+    augment_flip: bool = True
+    augment_scale_jitter: float = 0.0  # zoom-out only, e.g. 0.25
+    augment_photometric: float = 0.0  # brightness/contrast strength, e.g. 0.2
+
+    # ---- host sample cache: decode/resize once, mmap npz afterwards (lets
+    # one CPU core feed the chip at train rates; see scripts/bench_loader.py)
+    sample_cache_dir: str | None = None
+
     # ---- callbacks-equivalent knobs (reference config.py:57-68) ----
     checkpoints_dir: str = "logs"
     reduce_lr_factor: float = 0.98

@@ -36,19 +36,56 @@ class DataLoader:
         shuffle: bool = True,
         augment_fn=None,
         seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """``process_index``/``process_count`` shard the input pipeline
+        across hosts for multi-host training (SURVEY §2.15): every host
+        shuffles the full index order with the same seed, then takes its
+        ``index::count`` slice — deterministic, disjoint, load-balanced."""
         self.dataset = dataset
         self.config = config
         self.shuffle = shuffle
         self.augment_fn = augment_fn
         self._rng = np.random.RandomState(seed)
-        self.batch_size = config.batch_size
+        # config.batch_size is the GLOBAL batch; each host loads its share.
+        assert config.batch_size % process_count == 0, (
+            config.batch_size, process_count,
+        )
+        self.batch_size = config.batch_size // process_count
+        self.process_index = process_index
+        self.process_count = process_count
 
     @property
     def steps_per_epoch(self) -> int:
-        return len(self.dataset) // self.batch_size
+        return len(self.dataset) // (self.batch_size * self.process_count)
 
     def _sample(self, idx: int) -> Optional[Dict[str, np.ndarray]]:
+        cache_dir = self.config.sample_cache_dir
+        if cache_dir and self.augment_fn is None:
+            # Pre-decoded sample cache: decode+resize+mini-mask once, then
+            # read back a single npz per image — JPEG decode on one CPU core
+            # (~10 img/s) would otherwise starve the chip (SURVEY §2.10;
+            # measured in scripts/bench_loader.py). Host-side augment_fn
+            # disables the cache (it needs fresh full-res masks); the
+            # device-side augmentations (ops/augment.py) compose fine.
+            import os
+
+            os.makedirs(cache_dir, exist_ok=True)
+            path = os.path.join(cache_dir, f"{idx}.npz")
+            if os.path.exists(path):
+                with np.load(path) as z:
+                    if "empty" in z.files:
+                        return None
+                    return {k: z[k] for k in z.files}
+            sample = load_image_gt(self.dataset, self.config, idx, None)
+            tmp = path + f".tmp{os.getpid()}"
+            if sample is None:
+                np.savez(tmp, empty=np.zeros(1, np.uint8))
+            else:
+                np.savez(tmp, **sample)
+            os.replace(tmp, path)
+            return sample
         return load_image_gt(self.dataset, self.config, idx, self.augment_fn)
 
     def epoch(self, num_workers: int = 4) -> Iterator[Dict[str, np.ndarray]]:
@@ -61,6 +98,10 @@ class DataLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
+        if self.process_count > 1:  # per-host input shard (multi-host DP)
+            from maskrcnn_tf2_tpu.parallel.distributed import host_shard
+
+            order = host_shard(order, self.process_index, self.process_count)
         buf = []
         window = max(2 * num_workers, self.batch_size)
         with ThreadPoolExecutor(max_workers=num_workers) as pool:

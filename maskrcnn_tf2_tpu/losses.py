@@ -123,26 +123,46 @@ def l2_reg_loss(
     weight_decay: float,
     include_batchnorm: bool = False,
     skip_prefixes: Tuple[str, ...] = (),
+    bn_module_paths=None,
 ) -> Array:
     """Size-normalized L2 over kernels (reference L2RegLoss, losses.py:238-256):
     ``weight_decay * mean(square(w))`` summed over weight tensors, skipping
     BatchNorm scale/bias unless ``include_batchnorm``, all biases, and any
     top-level module in ``skip_prefixes`` (frozen submodels are not
     regularized — Keras only regularizes trainable weights).
+
+    ``bn_module_paths``: the exact set of BatchNorm module paths, derived
+    from the ``batch_stats`` collection (see ``batchnorm_module_paths``) —
+    a module is a BatchNorm iff it owns running mean/var, which is precise
+    where name matching ("bn" in the path) would silently unregularize any
+    module whose name merely contains "bn". Callers without batch_stats may
+    pass None to fall back to name matching.
     """
     total = jnp.float32(0.0)
     for path, leaf in jax.tree_util.tree_leaves_with_path(params):
-        keys = [getattr(p, "key", str(p)) for p in path]
-        if keys and str(keys[0]) in skip_prefixes:
+        keys = tuple(str(getattr(p, "key", p)) for p in path)
+        if keys and keys[0] in skip_prefixes:
             continue
-        name = "/".join(str(k) for k in keys)
-        is_bn = any(("bn" in str(k).lower()) or str(k) == "BatchNorm" for k in keys)
+        if bn_module_paths is not None:
+            is_bn = keys[:-1] in bn_module_paths
+        else:
+            is_bn = any(("bn" in k.lower()) or k == "BatchNorm" for k in keys)
         if not include_batchnorm and is_bn:
             continue
-        if keys and str(keys[-1]) in ("bias",):
+        if keys and keys[-1] in ("bias",):
             continue
         total = total + jnp.mean(jnp.square(leaf.astype(jnp.float32)))
     return weight_decay * total
+
+
+def batchnorm_module_paths(batch_stats) -> frozenset:
+    """Module paths owning BatchNorm running stats — the precise BN set for
+    ``l2_reg_loss`` (a path appears in batch_stats iff the module is a
+    ``nn.BatchNorm``)."""
+    return frozenset(
+        tuple(str(getattr(p, "key", p)) for p in path[:-1])
+        for path, _ in jax.tree_util.tree_leaves_with_path(batch_stats)
+    )
 
 
 def compute_losses(

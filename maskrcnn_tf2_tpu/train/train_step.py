@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from maskrcnn_tf2_tpu.config import MaskRCNNConfig
-from maskrcnn_tf2_tpu.losses import compute_losses, l2_reg_loss
+from maskrcnn_tf2_tpu.losses import batchnorm_module_paths, compute_losses, l2_reg_loss
 from maskrcnn_tf2_tpu.models import MaskRCNN
 from maskrcnn_tf2_tpu.ops.anchors import get_anchors
 from maskrcnn_tf2_tpu.ops.image import parse_image_meta
@@ -60,6 +60,12 @@ def create_train_state(config: MaskRCNNConfig, rng) -> TrainState:
             train=True,
         )
     )(rng)
+    if config.backbone_init_weights not in (None, "", "none", "random"):
+        # the reference's ImageNet backbone init (resnet_models.py:292-297)
+        from maskrcnn_tf2_tpu.models.backbones.pretrained import init_backbone_weights
+
+        variables = dict(variables)
+        variables, _ = init_backbone_weights(variables, config)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = build_optimizer(config)
@@ -74,9 +80,20 @@ def _loss_and_updates(
     rng,
     config: MaskRCNNConfig,
     anchors: jnp.ndarray,
+    augment: bool = False,
 ):
     model = MaskRCNN(config)
-    rng_sample, rng_rpn = jax.random.split(rng)
+    rng_sample, rng_rpn, rng_aug = jax.random.split(rng, 3)
+    if augment and config.augment_on_device:
+        from maskrcnn_tf2_tpu.ops.augment import device_augment
+
+        batch = device_augment(
+            batch,
+            rng_aug,
+            flip=config.augment_flip,
+            scale_jitter=config.augment_scale_jitter,
+            photometric=config.augment_photometric,
+        )
     b = batch["images"].shape[0]
 
     # Device-side RPN targets (the reference's CPU build_rpn_targets hot loop).
@@ -119,7 +136,11 @@ def _loss_and_updates(
         if flag
     )
     l2 = l2_reg_loss(
-        params, config.weight_decay, config.l2_reg_batchnorm, skip_prefixes=frozen
+        params,
+        config.weight_decay,
+        config.l2_reg_batchnorm,
+        skip_prefixes=frozen,
+        bn_module_paths=batchnorm_module_paths(batch_stats),
     )
     losses["l2_loss"] = l2
     total = total + l2
@@ -139,7 +160,7 @@ def make_train_step(config: MaskRCNNConfig, axis_name: str | None = None):
         anchors = jnp.asarray(anchors_np)
         grad_fn = jax.value_and_grad(_loss_and_updates, has_aux=True)
         (total, (losses, new_batch_stats)), grads = grad_fn(
-            state.params, state.batch_stats, batch, rng, config, anchors
+            state.params, state.batch_stats, batch, rng, config, anchors, True
         )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
@@ -173,9 +194,10 @@ def make_train_step(config: MaskRCNNConfig, axis_name: str | None = None):
     return train_step
 
 
-def make_eval_step(config: MaskRCNNConfig):
+def make_eval_step(config: MaskRCNNConfig, axis_name: str | None = None):
     """Validation loss step (reference test_step, model.py:182-217 — same
-    losses, no L2, no update)."""
+    losses, no L2, no update). With ``axis_name`` losses are pmean-reduced
+    over the data-parallel mesh axis (call under shard_map)."""
     anchors_np = get_anchors(config)
 
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
@@ -184,6 +206,8 @@ def make_eval_step(config: MaskRCNNConfig):
             state.params, state.batch_stats, batch, rng, config, anchors
         )
         del losses["l2_loss"]
+        if axis_name is not None:
+            losses = jax.lax.pmean(losses, axis_name)
         return losses
 
     return eval_step
@@ -210,6 +234,25 @@ def make_data_parallel_train_step(config: MaskRCNNConfig, mesh: Mesh):
         mesh=mesh,
         in_specs=(state_spec, batch_spec, rng_spec),
         out_specs=(state_spec, state_spec),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_data_parallel_eval_step(config: MaskRCNNConfig, mesh: Mesh):
+    """shard_map'd validation step: batch sharded over the ``data`` axis,
+    per-shard losses pmean-reduced (the mesh does real work during eval
+    instead of every device recomputing the replicated batch)."""
+    axis = config.mesh_data_axis
+    step_fn = make_eval_step(config, axis_name=axis)
+
+    from jax.experimental.shard_map import shard_map
+
+    sharded = shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=P(),
         check_rep=False,
     )
     return jax.jit(sharded)
