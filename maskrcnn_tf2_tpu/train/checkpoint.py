@@ -38,23 +38,44 @@ def make_manager(config: MaskRCNNConfig, base: Optional[str] = None, max_to_keep
     return ocp.CheckpointManager(path, options=options)
 
 
-def save(manager, state: TrainState, epoch: int, metrics: dict):
+def save(manager, state: TrainState, epoch: int, metrics: dict, extra: Optional[dict] = None):
+    """Save state (+ optional host-side ``extra`` payload, e.g. the LR
+    plateau scheduler state, so resume reproduces the LR trajectory — the
+    reference's ReduceLROnPlateau restarts from scratch on resume; we don't)."""
+    payload = dict(state._asdict())
+    if extra:
+        payload["extra"] = {k: float(v) for k, v in extra.items()}
     manager.save(
         epoch,
-        args=ocp.args.StandardSave(state._asdict()),
+        args=ocp.args.StandardSave(payload),
         metrics={k: float(v) for k, v in metrics.items()},
     )
 
 
-def restore(manager, state: TrainState, step: Optional[int] = None) -> Tuple[TrainState, int]:
+def restore(
+    manager,
+    state: TrainState,
+    step: Optional[int] = None,
+    extra_template: Optional[dict] = None,
+) -> Tuple[TrainState, int, Optional[dict]]:
     """Restore latest (or given) checkpoint into the state template.
 
-    Returns (state, start_epoch). With no checkpoint returns (state, 0).
+    Returns (state, start_epoch, extra). With no checkpoint returns
+    (state, 0, None). ``extra`` is None for checkpoints written without one.
     """
     target = step if step is not None else manager.latest_step()
     if target is None:
-        return state, 0
+        return state, 0, None
+    template = dict(state._asdict())
+    if extra_template:
+        template["extra"] = {k: float(v) for k, v in extra_template.items()}
+        try:
+            restored = manager.restore(target, args=ocp.args.StandardRestore(template))
+            extra = restored.pop("extra", None)
+            return TrainState(**restored), int(target) + 1, extra
+        except Exception:
+            pass  # older checkpoint without the extra payload
     restored = manager.restore(
-        target, args=ocp.args.StandardRestore(state._asdict())
+        target, args=ocp.args.StandardRestore(dict(state._asdict()))
     )
-    return TrainState(**restored), int(target) + 1
+    return TrainState(**restored), int(target) + 1, None

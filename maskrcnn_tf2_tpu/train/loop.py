@@ -32,7 +32,12 @@ from maskrcnn_tf2_tpu.train.train_step import (
 
 
 class PlateauScheduler:
-    """ReduceLROnPlateau twin (reference training.py:126-130)."""
+    """ReduceLROnPlateau twin (reference training.py:126-130).
+
+    Its state round-trips through the orbax checkpoint (``state_dict`` /
+    ``load_state_dict``) so a resumed run continues the exact LR trajectory
+    instead of resetting to ``config.learning_rate``.
+    """
 
     def __init__(self, factor: float, patience: int, base_lr: float):
         self.factor = factor
@@ -51,6 +56,14 @@ class PlateauScheduler:
                 self.lr *= self.factor
                 self.bad_epochs = 0
         return self.lr
+
+    def state_dict(self) -> Dict[str, float]:
+        return {"lr": self.lr, "best": self.best, "bad_epochs": float(self.bad_epochs)}
+
+    def load_state_dict(self, d: Dict[str, float]):
+        self.lr = float(d["lr"])
+        self.best = float(d["best"])
+        self.bad_epochs = int(d["bad_epochs"])
 
 
 def _set_lr(state: TrainState, lr: float) -> TrainState:
@@ -84,44 +97,81 @@ def train_model(
     if state is None:
         state = create_train_state(config, rng)
 
-    manager = ckpt_lib.make_manager(config, checkpoint_base)
-    start_epoch = 0
-    if resume:
-        state, start_epoch = ckpt_lib.restore(manager, state)
-
-    train_loader = DataLoader(train_dataset, config, shuffle=True, augment_fn=augment_fn)
-    spe = steps_per_epoch or train_loader.steps_per_epoch
-
-    # Data-parallel over every visible device (the reference is single-GPU;
-    # here DP is the default whenever a mesh exists).
-    n_dev = len(jax.devices())
-    if n_dev > 1 and config.batch_size % n_dev == 0:
-        from maskrcnn_tf2_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-        from maskrcnn_tf2_tpu.train.train_step import make_data_parallel_train_step
-
-        mesh = make_mesh(n_dev, config.mesh_data_axis)
-        train_step = make_data_parallel_train_step(config, mesh)
-        state = replicate(state, mesh)
-        place = lambda b: shard_batch(b, mesh, config.mesh_data_axis)
-        print(f"data-parallel over {n_dev} devices (axis '{config.mesh_data_axis}')")
-    else:
-        train_step = jax.jit(make_train_step(config))
-        place = lambda b: b
-    eval_step = jax.jit(make_eval_step(config))
-
     sched = PlateauScheduler(
         config.reduce_lr_factor, config.reduce_lr_patience, config.learning_rate
     )
+    manager = ckpt_lib.make_manager(config, checkpoint_base)
+    start_epoch = 0
+    if resume:
+        state, start_epoch, extra = ckpt_lib.restore(
+            manager, state, extra_template=sched.state_dict()
+        )
+        if extra is not None:
+            sched.load_state_dict(extra)
+            state = _set_lr(state, sched.lr)
 
-    train_iter = prefetch(iter(train_loader), size=config.prefetch_size)
-    global_step = start_epoch * spe
+    n_proc = jax.process_count()
+    train_loader = DataLoader(
+        train_dataset,
+        config,
+        shuffle=True,
+        augment_fn=augment_fn,
+        process_index=jax.process_index(),
+        process_count=n_proc,
+    )
+
+    # Data-parallel over every visible device, across ALL processes when the
+    # runtime is multi-host (the reference is single-GPU; here DP is the
+    # default whenever a mesh exists; gradient psum rides ICI intra-slice and
+    # DCN across slices).
+    n_dev = len(jax.devices())
+    if n_dev > 1 and config.batch_size % n_dev == 0:
+        from maskrcnn_tf2_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+        from maskrcnn_tf2_tpu.train.train_step import (
+            make_data_parallel_eval_step,
+            make_data_parallel_train_step,
+        )
+
+        mesh = make_mesh(n_dev, config.mesh_data_axis)
+        train_step = make_data_parallel_train_step(config, mesh)
+        eval_step = make_data_parallel_eval_step(config, mesh)
+        if n_proc > 1:
+            from maskrcnn_tf2_tpu.parallel import distributed as dist
+
+            state = dist.replicate_global(state, mesh)
+            place = lambda b: dist.form_global_batch(b, mesh, config.mesh_data_axis)
+        else:
+            state = replicate(state, mesh)
+            place = lambda b: shard_batch(b, mesh, config.mesh_data_axis)
+        if jax.process_index() == 0:
+            print(
+                f"data-parallel over {n_dev} devices / {n_proc} processes "
+                f"(axis '{config.mesh_data_axis}')"
+            )
+    else:
+        train_step = jax.jit(make_train_step(config))
+        eval_step = jax.jit(make_eval_step(config))
+        place = lambda b: b
+
+    global_step = start_epoch * (steps_per_epoch or train_loader.steps_per_epoch)
     for epoch in range(start_epoch, config.epochs):
         t0 = time.time()
-        agg: Dict[str, float] = {}
-        for s in range(spe):
+        # Device-side per-step loss accumulation: exact epoch means with no
+        # host sync inside the step loop (one sync at epoch end).
+        agg_dev = None
+        spe = 0
+        # An "epoch" is one full pass over the dataset: the loader's epoch()
+        # iterator defines the boundary (instance-less images are skipped and
+        # the ragged tail dropped, so the step count is measured, not
+        # floor(n/batch) — the reference's endless .repeat() stream lets
+        # epoch e consume epoch e+1's images; this does not).
+        epoch_iter = prefetch(train_loader.epoch(), size=config.prefetch_size)
+        for batch_np in epoch_iter:
+            if steps_per_epoch and spe >= steps_per_epoch:
+                break
             if profile_steps and global_step == profile_steps[0]:
                 jax.profiler.start_trace(ckpt_lib.checkpoint_dir(config, checkpoint_base))
-            batch = place(jax.tree.map(jnp.asarray, next(train_iter)))
+            batch = place(jax.tree.map(jnp.asarray, batch_np))
             state, losses = train_step(
                 state, batch, jax.random.fold_in(rng, global_step)
             )
@@ -129,20 +179,30 @@ def train_model(
                 jax.block_until_ready(losses)
                 jax.profiler.stop_trace()
             global_step += 1
-            if s % config.log_per_steps == 0:
-                vals = {k: float(v) for k, v in losses.items()}
-                for k, v in vals.items():
-                    agg[k] = agg.get(k, 0.0) + v
-                if metric_writer:
-                    metric_writer(global_step, vals)
+            spe += 1
+            agg_dev = (
+                losses
+                if agg_dev is None
+                else jax.tree.map(jnp.add, agg_dev, losses)
+            )
+            if metric_writer and spe % config.log_per_steps == 0:
+                metric_writer(global_step, {k: float(v) for k, v in losses.items()})
 
-        # validation (reference test_step path)
-        metrics = {k: v / max(1, spe // config.log_per_steps) for k, v in agg.items()}
+        metrics = (
+            {k: float(v) / spe for k, v in agg_dev.items()} if agg_dev else {}
+        )
+        # validation (reference test_step path); DP-sharded when a mesh exists
         if val_dataset is not None:
-            val_loader = DataLoader(val_dataset, config, shuffle=False)
+            val_loader = DataLoader(
+                val_dataset,
+                config,
+                shuffle=False,
+                process_index=jax.process_index(),
+                process_count=n_proc,
+            )
             val_losses = []
             for vb in val_loader.epoch():
-                vl = eval_step(state, jax.tree.map(jnp.asarray, vb), rng)
+                vl = eval_step(state, place(jax.tree.map(jnp.asarray, vb)), rng)
                 val_losses.append({k: float(v) for k, v in vl.items()})
             if val_losses:
                 for k in val_losses[0]:
@@ -152,7 +212,7 @@ def train_model(
         new_lr = sched.update(monitor)
         state = _set_lr(state, new_lr)
 
-        ckpt_lib.save(manager, state, epoch, metrics)
+        ckpt_lib.save(manager, state, epoch, metrics, extra=sched.state_dict())
         dt = time.time() - t0
         ips = spe * config.batch_size / dt
         print(

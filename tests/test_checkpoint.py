@@ -37,7 +37,7 @@ def test_checkpoint_roundtrip(tmp_path):
 
     # fresh template (different rng -> different values), then restore
     template = create_train_state(cfg, jax.random.PRNGKey(99))
-    restored, start_epoch = ckpt_lib.restore(manager, template)
+    restored, start_epoch, _ = ckpt_lib.restore(manager, template)
     assert start_epoch == 4  # resume at the next epoch
     assert int(restored.step) == 7
     a = jax.tree.leaves(state.params)[0]
@@ -49,7 +49,7 @@ def test_restore_without_checkpoint_is_noop(tmp_path):
     cfg = MaskRCNNConfig(**TINY, checkpoints_dir=str(tmp_path))
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     manager = ckpt_lib.make_manager(cfg)
-    restored, start_epoch = ckpt_lib.restore(manager, state)
+    restored, start_epoch, _ = ckpt_lib.restore(manager, state)
     assert start_epoch == 0
 
 
@@ -77,3 +77,45 @@ def test_ftrl_sparsifies_with_l1():
     up, st = tx.update({"w": jnp.asarray([0.01, 0.01])}, st, params)
     new = optax.apply_updates(params, up)
     np.testing.assert_allclose(np.asarray(new["w"]), 0.0, atol=1e-7)
+
+
+def test_scheduler_state_roundtrips_through_checkpoint(tmp_path):
+    """Resume reproduces the LR plateau trajectory (VERDICT weak #5): the
+    PlateauScheduler state rides the checkpoint's 'extra' payload."""
+    from maskrcnn_tf2_tpu.train.loop import PlateauScheduler
+
+    cfg = MaskRCNNConfig(**TINY, checkpoints_dir=str(tmp_path))
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    sched = PlateauScheduler(0.5, patience=2, base_lr=0.01)
+    sched.update(1.0)  # best=1.0
+    sched.update(1.1)  # bad=1
+    sched.update(1.2)  # bad=2 -> lr*=0.5
+    assert sched.lr == pytest.approx(0.005)
+    manager = ckpt_lib.make_manager(cfg)
+    ckpt_lib.save(manager, state, epoch=0, metrics={"loss_sum": 1.2},
+                  extra=sched.state_dict())
+    manager.wait_until_finished()
+
+    fresh = PlateauScheduler(0.5, patience=2, base_lr=0.01)
+    _, start, extra = ckpt_lib.restore(
+        manager, state, extra_template=fresh.state_dict()
+    )
+    assert start == 1
+    assert extra is not None
+    fresh.load_state_dict(extra)
+    assert fresh.lr == pytest.approx(0.005)
+    assert fresh.best == pytest.approx(1.0)
+    assert fresh.bad_epochs == 0
+
+
+def test_restore_old_checkpoint_without_extra(tmp_path):
+    """Checkpoints written before the extra payload still restore."""
+    cfg = MaskRCNNConfig(**TINY, checkpoints_dir=str(tmp_path))
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    manager = ckpt_lib.make_manager(cfg)
+    ckpt_lib.save(manager, state, epoch=0, metrics={"loss_sum": 1.0})
+    manager.wait_until_finished()
+    restored, start, extra = ckpt_lib.restore(
+        manager, state, extra_template={"lr": 0.0, "best": 0.0, "bad_epochs": 0.0}
+    )
+    assert start == 1 and extra is None

@@ -100,3 +100,30 @@ def test_frozen_backbone_gets_zero_grads():
     # heads still receive gradient
     heads = jax.tree.leaves(g["classifier"]) if "classifier" in g else []
     assert any(float(jnp.max(jnp.abs(x))) > 0 for x in jax.tree.leaves(g))
+
+
+def test_l2_reg_bn_detection_is_precise():
+    """A module whose NAME contains 'bn' but is not BatchNorm must still be
+    regularized when the precise batch_stats-derived set is supplied
+    (VERDICT weak #8: name matching silently unregularizes such modules)."""
+    import jax.numpy as jnp
+
+    from maskrcnn_tf2_tpu.losses import batchnorm_module_paths, l2_reg_loss
+
+    params = {
+        "fbn_dense": {"kernel": jnp.ones((4, 4))},      # fake-"bn" name
+        "real": {"bn": {"scale": jnp.ones((4,)), "bias": jnp.ones((4,))},
+                 "conv": {"kernel": jnp.ones((2, 2))}},
+    }
+    batch_stats = {"real": {"bn": {"mean": jnp.zeros((4,)), "var": jnp.ones((4,))}}}
+    bn_paths = batchnorm_module_paths(batch_stats)
+    assert ("real", "bn") in bn_paths
+
+    # name heuristic: skips fbn_dense/kernel (wrong) -> only conv kernel
+    by_name = float(l2_reg_loss(params, 1.0, include_batchnorm=False))
+    # precise: regularizes fbn_dense/kernel + conv kernel, skips real bn scale
+    precise = float(
+        l2_reg_loss(params, 1.0, include_batchnorm=False, bn_module_paths=bn_paths)
+    )
+    assert by_name == 1.0  # conv kernel mean(1) only
+    assert precise == 2.0  # + fbn_dense kernel
