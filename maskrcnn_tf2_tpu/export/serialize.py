@@ -89,3 +89,58 @@ def export_saved_model(
     module.__call__ = tf_fn
     tf.saved_model.save(module, path)
     return path
+
+
+def export_onnx(
+    config: MaskRCNNConfig,
+    variables,
+    path: str,
+    batch_size: int = 1,
+    opset: int = 17,
+) -> str:
+    """ONNX artifact via jax2tf -> tf2onnx — parity with the reference's
+    ``maskrcnn_to_onnx`` (inference_optimize.py:12-21), minus the TensorRT
+    plugin surgery (this graph's Proposal/ROIAlign/DetectionNMS are ordinary
+    ops that tf2onnx lowers directly, so ``modify_onnx_model``'s splicing,
+    inference_optimize.py:415-735, has nothing left to do).
+
+    Gated: requires the optional ``tf2onnx``/``onnx`` packages on top of
+    tensorflow; raises a clear error when absent (this image ships TF but
+    not tf2onnx). Outputs follow the reference contract
+    ``['mrcnn_detection', 'mrcnn_mask']`` (inference_optimize.py:719-722).
+    """
+    try:  # gate first: cheap, and TF import alone takes ~1 min on this box
+        import tf2onnx
+    except ImportError as e:
+        raise RuntimeError(
+            "export_onnx requires the optional tf2onnx package "
+            "(pip install tf2onnx onnx); export_stablehlo/export_saved_model "
+            "cover the TPU-native deployment path without it"
+        ) from e
+    try:
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("export_onnx requires tensorflow + jax2tf") from e
+
+    infer, args = _inference_fn_and_args(config, variables, batch_size)
+
+    def named(images, image_meta):
+        det, masks = infer(images, image_meta)
+        return {"mrcnn_detection": det, "mrcnn_mask": masks}
+
+    tf_fn = tf.function(
+        jax2tf.convert(named, with_gradient=False),
+        input_signature=[
+            tf.TensorSpec(args[0].shape, tf.float32, name="input_image"),
+            tf.TensorSpec(args[1].shape, tf.float32, name="input_image_meta"),
+        ],
+        autograph=False,
+    )
+    tf2onnx.convert.from_function(
+        tf_fn,
+        input_signature=tf_fn.input_signature,
+        opset=opset,
+        output_path=path,
+    )
+    return path

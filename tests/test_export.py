@@ -50,3 +50,59 @@ def test_stablehlo_export_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(det_loaded), np.asarray(det_direct), rtol=1e-5, atol=1e-5
     )
+
+
+def test_export_onnx_is_cleanly_gated(tmp_path):
+    """tf2onnx is not in this image: export_onnx must raise the documented
+    gate error (not ImportError from deep inside) without touching TF."""
+    import pytest as _pytest
+
+    from maskrcnn_tf2_tpu.export.serialize import export_onnx
+
+    try:
+        import tf2onnx  # noqa: F401
+
+        _pytest.skip("tf2onnx installed; gate test not applicable")
+    except ImportError:
+        pass
+    with _pytest.raises(RuntimeError, match="tf2onnx"):
+        export_onnx(None, None, str(tmp_path / "m.onnx"))
+
+
+def test_saved_model_numeric_roundtrip(tmp_path):
+    """jax2tf SavedModel output matches the jitted jax graph numerically
+    (the TF leg of the reference's tf->onnx->trt path,
+    inference_optimize.py:12-21; TF is available in this image)."""
+    import pytest as _pytest
+
+    tf = _pytest.importorskip("tensorflow")
+
+    from maskrcnn_tf2_tpu.export.serialize import export_saved_model
+
+    model = MaskRCNN(CFG)
+    images = jnp.zeros((1, 128, 128, 3))
+    meta = jnp.asarray(
+        compose_image_meta(0, (128, 128, 3), (128, 128, 3), (0, 0, 128, 128), 1.0, np.ones(3))
+    )[None]
+    variables = jax.jit(
+        lambda r: model.init({"params": r}, images, meta, train=False)
+    )(jax.random.PRNGKey(0))
+
+    path = str(tmp_path / "savedmodel")
+    export_saved_model(CFG, variables, path, batch_size=1)
+
+    rng_img = jnp.asarray(
+        np.random.RandomState(1).rand(1, 128, 128, 3).astype(np.float32) * 255
+    )
+    det_direct = jax.jit(
+        lambda im, me: model.apply(variables, im, me, train=False)["detections"]
+    )(rng_img, meta)
+
+    loaded = tf.saved_model.load(path)
+    det_tf, masks_tf = loaded(
+        tf.constant(np.asarray(rng_img)), tf.constant(np.asarray(meta))
+    )
+    assert tuple(det_tf.shape) == (1, 8, 6)
+    np.testing.assert_allclose(
+        det_tf.numpy(), np.asarray(det_direct), rtol=1e-4, atol=1e-4
+    )
