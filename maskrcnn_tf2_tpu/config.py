@@ -141,6 +141,11 @@ class MaskRCNNConfig:
     compute_dtype: str = "bfloat16"  # activations dtype on TPU
     mesh_data_axis: str = "data"  # data-parallel mesh axis name
     debug_nans: bool = False
+    # Non-finite update guard: "loss" checks the scalar total loss (the
+    # reference's check_loss_nan semantics, model.py:64-84 — O(1) cost),
+    # "full" additionally isfinite-scans every optimizer update tensor
+    # (~20 ms/step at r50@512 b8 on v5e), "off" disables skipping.
+    nonfinite_guard: str = "loss"
 
     # ------------------------------------------------------------------
     def __post_init__(self):

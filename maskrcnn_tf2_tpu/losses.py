@@ -92,9 +92,14 @@ def mrcnn_bbox_loss(
     deltas_pred: [B, T, C, 4]; target_deltas: [B, T, 4]; target_class_ids: [B, T].
     """
     cls = target_class_ids.astype(jnp.int32)
-    picked = jnp.take_along_axis(
-        deltas_pred.astype(jnp.float32), cls[..., None, None], axis=2
-    )[:, :, 0, :]  # [B, T, 4]
+    # one-hot contraction instead of take_along_axis: per-ROI class-channel
+    # gathers lower to scalar gathers on TPU (profiled hot); the matmul is
+    # exact (0/1 weights) and rides the MXU.
+    onehot = jax.nn.one_hot(cls, deltas_pred.shape[2], dtype=jnp.float32)
+    picked = jnp.einsum(
+        "btcf,btc->btf", deltas_pred.astype(jnp.float32), onehot,
+        precision="highest",
+    )  # [B, T, 4]
     loss = jnp.mean(smooth_l1(picked - target_deltas.astype(jnp.float32)), axis=-1)
     return _masked_mean(loss, cls > 0)
 
@@ -106,11 +111,13 @@ def mrcnn_mask_loss(masks_pred: Array, target_masks: Array, target_class_ids: Ar
     masks_pred: [B, T, H, W, C] sigmoid probs; target_masks: [B, T, H, W].
     """
     cls = target_class_ids.astype(jnp.int32)
-    picked = jnp.take_along_axis(
-        masks_pred.astype(jnp.float32),
-        cls[..., None, None, None],
-        axis=-1,
-    )[..., 0]  # [B, T, H, W]
+    # one-hot contraction over the class axis (see mrcnn_bbox_loss): the
+    # [B, T, H, W] channel gather was ~21 ms/step on v5e; the einsum is exact.
+    onehot = jax.nn.one_hot(cls, masks_pred.shape[-1], dtype=jnp.float32)
+    picked = jnp.einsum(
+        "bthwc,btc->bthw", masks_pred.astype(jnp.float32), onehot,
+        precision="highest",
+    )  # [B, T, H, W]
     picked = jnp.clip(picked, _EPS, 1.0 - _EPS)
     target = target_masks.astype(jnp.float32)
     bce = -(target * jnp.log(picked) + (1.0 - target) * jnp.log(1.0 - picked))

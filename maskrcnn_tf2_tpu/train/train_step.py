@@ -170,24 +170,37 @@ def make_train_step(config: MaskRCNNConfig, axis_name: str | None = None):
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
 
-        # Non-finite guard: skip the whole update if the loss OR any update is
-        # non-finite (reference check_loss_nan raises, model.py:64-84; a NaN
-        # gradient with finite loss is possible, so both are checked).
-        updates_finite = jnp.all(
-            jnp.asarray(
-                [jnp.all(jnp.isfinite(u)) for u in jax.tree.leaves(updates)]
+        # Non-finite guard (config.nonfinite_guard): skip the whole update
+        # when the loss — or, in "full" mode, any optimizer update tensor —
+        # is non-finite. "loss" is the reference's check_loss_nan semantics
+        # (model.py:64-84) at O(1) cost; the "full" isfinite scan of every
+        # update costs a full HBM pass (~20 ms/step r50@512 b8 on v5e).
+        guard = config.nonfinite_guard
+        if guard == "off":
+            ok = jnp.bool_(True)
+            new_state = TrainState(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_batch_stats,
+                opt_state=new_opt_state,
             )
-        )
-        ok = jnp.isfinite(total) & updates_finite
-        pick = lambda new, old: jax.tree.map(
-            lambda a, b: jnp.where(ok, a, b), new, old
-        )
-        new_state = TrainState(
-            step=state.step + 1,
-            params=pick(new_params, state.params),
-            batch_stats=pick(new_batch_stats, state.batch_stats),
-            opt_state=pick(new_opt_state, state.opt_state),
-        )
+        else:
+            ok = jnp.isfinite(total)
+            if guard == "full":
+                ok = ok & jnp.all(
+                    jnp.asarray(
+                        [jnp.all(jnp.isfinite(u)) for u in jax.tree.leaves(updates)]
+                    )
+                )
+            pick = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(ok, a, b), new, old
+            )
+            new_state = TrainState(
+                step=state.step + 1,
+                params=pick(new_params, state.params),
+                batch_stats=pick(new_batch_stats, state.batch_stats),
+                opt_state=pick(new_opt_state, state.opt_state),
+            )
         losses["grad_finite"] = ok.astype(jnp.float32)
         return new_state, losses
 
