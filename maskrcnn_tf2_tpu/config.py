@@ -48,7 +48,10 @@ class MaskRCNNConfig:
     pixel_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 
     # ---- masks (reference config.py:38-43) ----
-    use_mini_masks: bool = False
+    # Reference default is ON (config.py:38-43, use_mini_mask + 56x56):
+    # full-resolution mask targets also cost ~80 ms/step on v5e (4-corner
+    # gathers over [G, H, W] masks — see ops/targets.py mask-target crop).
+    use_mini_masks: bool = True
     mini_mask_shape: Tuple[int, int] = (56, 56)
     mask_shape: Tuple[int, int] = (28, 28)
 

@@ -25,8 +25,15 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 128  # rows processed per step; lanes dimension is N
 
 
-def _nms_kernel(soa_ref, keep_ref, *, n: int, iou_threshold: float):
-    """soa_ref: [8, N] f32 in VMEM; keep_ref: [1, N] f32 out (1.0 = kept)."""
+def _nms_kernel(soa_ref, keep_ref, *, n: int, iou_threshold: float, limit: int):
+    """soa_ref: [8, N] f32 in VMEM; keep_ref: [1, N] f32 out (1.0 = kept).
+
+    ``limit`` > 0 enables early exit: greedy NMS consumes boxes in score
+    order, so once ``limit`` boxes are kept no later tile can change the
+    top-``limit`` selection — the caller takes the ``limit`` highest-score
+    kept rows (ops/nms.py), which are all in the processed prefix. At
+    proposal scale (6000 -> keep 1000) this skips most tiles.
+    """
     num_tiles = n // TILE
 
     y1 = soa_ref[0:1, :]  # [1, N]
@@ -101,22 +108,37 @@ def _nms_kernel(soa_ref, keep_ref, *, n: int, iou_threshold: float):
             cond, body, (jnp.int32(0), row_alive, jnp.bool_(True))
         )
         keep_ref[0:1, pl.ds(start, TILE)] = keep_t.reshape(1, TILE)
-        return 0
+        return jnp.sum(keep_t)
 
-    jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+    if limit > 0:
+        def cond(state):
+            i, kept = state
+            return jnp.logical_and(i < num_tiles, kept < float(limit))
+
+        def body(state):
+            i, kept = state
+            return i + 1, kept + tile_body(i, 0)
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(0.0)))
+    else:
+        jax.lax.fori_loop(0, num_tiles, lambda i, c: (tile_body(i, 0), 0)[1], 0)
 
 
-@functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret", "limit"))
 def greedy_keep_pallas(
     boxes_s: jnp.ndarray,
     valid_s: jnp.ndarray,
     iou_threshold: float,
     interpret: bool = False,
+    limit: int = 0,
 ) -> jnp.ndarray:
     """Keep-mask for score-sorted boxes [N, 4] (N % 128 == 0) via Pallas.
 
-    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU) — used
-    by CI to keep every kernel line covered without TPU hardware."""
+    ``limit`` > 0: stop once that many boxes are kept (see ``_nms_kernel``;
+    only the top-``limit`` kept rows are then meaningful — exactly what the
+    fixed-slot callers consume). ``interpret=True`` runs the kernel in the
+    Pallas interpreter (CPU) — used by CI to keep every kernel line covered
+    without TPU hardware."""
     n = boxes_s.shape[0]
     assert n % TILE == 0, f"N must be a multiple of {TILE}"
     b = boxes_s.astype(jnp.float32)
@@ -135,7 +157,9 @@ def greedy_keep_pallas(
         axis=0,
     )  # [8, N]
     keep = pl.pallas_call(
-        functools.partial(_nms_kernel, n=n, iou_threshold=float(iou_threshold)),
+        functools.partial(
+            _nms_kernel, n=n, iou_threshold=float(iou_threshold), limit=int(limit)
+        ),
         out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -41,11 +41,11 @@ def _kernel(
     x_start_ref,  # [G] int32 patch-mode col origin (8-aligned)
     row0_ref,  # [G, P] int32 strip-mode row-pair origins (<= H-2)
     mode_ref,  # [G] int32: 0 = inactive, 1 = patch, 2 = strips
+    tmat_ref,  # [G, P] f32 strip-mode within-pair fraction (SMEM scalars)
     # tensor inputs
     feats_ref,  # [H, W, C] in ANY/HBM (per-image handled by caller vmap)
     ymat_ref,  # [G, P, PATCH_Y] f32 patch-mode row interpolation (VMEM block)
     xmat_ref,  # [G, P, PATCH_X] f32 patch-mode col interpolation
-    tmat_ref,  # [G, P] f32 strip-mode within-pair fraction
     wmat_ref,  # [G, P, W] f32 strip-mode full-width hat weights
     # output
     out_ref,  # [G, P, P, C] (VMEM block per grid step: [1, P, P, C])
@@ -127,32 +127,27 @@ def _kernel(
 
     @pl.when(mode_ref[g] == 2)
     def _():
+        wm = wmat_ref[0]  # [P(q), W]
         for r in range(pool):
             strip_dma(g, r, slot).wait()
-        f = strips[slot].astype(jnp.float32)  # [P, 2, W, C]
-        t = tmat_ref[0].reshape(pool, 1, 1)  # [P, 1, 1]
-        rows = f[:, 0] * (1.0 - t) + f[:, 1] * t  # [P, W, C]
-        out_ref[0] = xcontract(rows, wmat_ref[0]).astype(out_ref.dtype)
+            t = tmat_ref[g, r]  # f32 scalar (SMEM) — vector reshapes of the
+            # lane-dim t were not lowerable (Mosaic "unsupported shape cast")
+            f = strips[slot, r].astype(jnp.float32)  # [2, W, C]
+            row = f[0] * (1.0 - t) + f[1] * t  # [W, C]
+            o = jax.lax.dot_general(
+                wm, row, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [P(q), C]
+            out_ref[0, r] = o.astype(out_ref.dtype)
 
     @pl.when(mode_ref[g] == 0)
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
 
-def roi_align_level_pallas(
-    feats: jnp.ndarray,  # [H, W, C] one image, one level
-    boxes: jnp.ndarray,  # [G, 4] normalized
-    active: jnp.ndarray,  # [G] bool (assigned to this level & valid)
-    pool_size: int,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """[G, P, P, C] pooled features; zeros for inactive ROIs. Exact."""
-    h, w, c = feats.shape
-    g = boxes.shape[0]
-    p = pool_size
-    patch_y = min(PATCH_Y, h)
-    patch_x = min(PATCH_X, w)
-
+def _level_geometry(boxes, active, h, w, p, patch_y, patch_x):
+    """Per-ROI DMA geometry shared by the forward and backward kernels:
+    (y_start, x_start, row0, mode, ymat, xmat, tmat, wmat)."""
     boxes = boxes.astype(jnp.float32)
     y1, x1, y2, x2 = (boxes[:, i] for i in range(4))
     if p > 1:
@@ -194,19 +189,37 @@ def roi_align_level_pallas(
     )  # [G, P, W]
 
     mode = jnp.where(active, jnp.where(fits_patch, 1, 2), 0).astype(jnp.int32)
+    return y_start, x_start, row0, mode, ymat, xmat, tmat, wmat
+
+
+def roi_align_level_pallas(
+    feats: jnp.ndarray,  # [H, W, C] one image, one level
+    boxes: jnp.ndarray,  # [G, 4] normalized
+    active: jnp.ndarray,  # [G] bool (assigned to this level & valid)
+    pool_size: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[G, P, P, C] pooled features; zeros for inactive ROIs. Exact."""
+    h, w, c = feats.shape
+    g = boxes.shape[0]
+    p = pool_size
+    patch_y = min(PATCH_Y, h)
+    patch_x = min(PATCH_X, w)
+    y_start, x_start, row0, mode, ymat, xmat, tmat, wmat = _level_geometry(
+        boxes, active, h, w, p, patch_y, patch_x
+    )
 
     out = pl.pallas_call(
         functools.partial(
             _kernel, patch_y=patch_y, patch_x=patch_x, n_rois=g, pool=p
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(g,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),  # feats stay in HBM
                 pl.BlockSpec((1, p, patch_y), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec((1, p, patch_x), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((1, p), lambda i, *_: (i, 0)),
                 pl.BlockSpec((1, p, w), lambda i, *_: (i, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, p, p, c), lambda i, *_: (i, 0, 0, 0)),
@@ -225,28 +238,169 @@ def roi_align_level_pallas(
         x_start,
         row0,
         mode,
+        tmat,
         feats,
         ymat,
         xmat,
-        tmat,
         wmat,
     )
     return out
 
 
-def pyramid_roi_align_pallas(
-    features,  # list of [B, Hl, Wl, C]
-    boxes: jnp.ndarray,  # [B, N, 4]
+def _bwd_kernel(
+    # scalar prefetch
+    y_start_ref,  # [G]
+    x_start_ref,  # [G]
+    row0_ref,  # [G, P]
+    mode_ref,  # [G]
+    tmat_ref,  # [G, P] f32 (SMEM scalars)
+    # tensor inputs
+    dfeats_in_ref,  # [H, W, C] f32 in ANY/HBM — aliased to the output
+    dout_ref,  # [G, P, P, C] (VMEM block per step: [1, P, P, C])
+    ymat_ref,  # [G, P, PATCH_Y]
+    xmat_ref,  # [G, P, PATCH_X]
+    wmat_ref,  # [G, P, W]
+    # output
+    dfeats_ref,  # [H, W, C] f32 in ANY/HBM (same buffer as dfeats_in_ref)
+    # scratch
+    win,  # VMEM [PATCH_Y, PATCH_X, C] f32
+    spair,  # VMEM [2, W, C] f32
+    wsem,  # DMA sem
+    ssem,  # DMA sem
+    *,
+    patch_y: int,
+    patch_x: int,
+    pool: int,
+):
+    """Transpose of the forward kernel: scatter-accumulate each ROI's pooled
+    cotangent back into the level feature map.
+
+    Fully SERIAL per ROI (no double buffering): overlapping ROI windows make
+    every read-modify-write of ``dfeats`` a potential RAW hazard with the
+    previous ROI's write, so each window is read, accumulated and written
+    back with both DMAs awaited before the next grid step touches memory.
+    """
+    g = pl.program_id(0)
+    dout = dout_ref[0].astype(jnp.float32)  # [P, P, C]
+    c = dout.shape[-1]
+
+    def drows_from(xm, wx):
+        """drows[p, w, c] = sum_q xm[q, w] * dout[p, q, c] — transpose of
+        the forward xcontract."""
+        d = jax.lax.dot_general(
+            xm,  # [P(q), Wx]
+            dout.transpose(1, 0, 2).reshape(pool, pool * c),  # [q, p*c]
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Wx, P*C]
+        return d.reshape(wx, pool, c).transpose(1, 0, 2)  # [P, Wx, C]
+
+    @pl.when(mode_ref[g] == 1)
+    def _():
+        ym = ymat_ref[0]  # [P, PATCH_Y]
+        drows = drows_from(xmat_ref[0], patch_x)  # [P, PATCH_X, C]
+        dpatch = jax.lax.dot_general(
+            ym,
+            drows.reshape(pool, patch_x * c),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(patch_y, patch_x, c)
+        window = dfeats_ref.at[
+            pl.ds(y_start_ref[g], patch_y),
+            pl.ds(pl.multiple_of(x_start_ref[g], 8), patch_x),
+            :,
+        ]
+        read = pltpu.make_async_copy(window, win, wsem)
+        read.start()
+        read.wait()
+        win[...] = win[...] + dpatch
+        write = pltpu.make_async_copy(win, window, wsem)
+        write.start()
+        write.wait()
+
+    @pl.when(mode_ref[g] == 2)
+    def _():
+        wm = wmat_ref[0]  # [P(q), W]
+        for r in range(pool):
+            t = tmat_ref[g, r]  # f32 scalar (SMEM)
+            # drow[w, c] = sum_q wm[q, w] * dout[r, q, c]
+            drow = jax.lax.dot_general(
+                wm, dout[r], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [W, C]
+            pair = dfeats_ref.at[pl.ds(row0_ref[g, r], 2), :, :]
+            read = pltpu.make_async_copy(pair, spair, ssem)
+            read.start()
+            read.wait()
+            spair[0] = spair[0] + drow * (1.0 - t)
+            spair[1] = spair[1] + drow * t
+            write = pltpu.make_async_copy(spair, pair, ssem)
+            write.start()
+            write.wait()
+
+
+def roi_align_level_bwd_pallas(
+    dout: jnp.ndarray,  # [G, P, P, C] cotangent of the pooled output
+    boxes: jnp.ndarray,  # [G, 4] normalized
+    active: jnp.ndarray,  # [G] bool
+    h: int,
+    w: int,
+    c: int,
     pool_size: int,
-    image_shape,
-    denominator: float = 244.0,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Full pyramid ROIAlign via the per-level Pallas kernel (sum of levels)."""
+    """[H, W, C] f32 cotangent of the level feature map (exact transpose)."""
+    g = boxes.shape[0]
+    p = pool_size
+    patch_y = min(PATCH_Y, h)
+    patch_x = min(PATCH_X, w)
+    y_start, x_start, row0, mode, ymat, xmat, tmat, wmat = _level_geometry(
+        boxes, active, h, w, p, patch_y, patch_x
+    )
+    zeros = jnp.zeros((h, w, c), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, patch_y=patch_y, patch_x=patch_x, pool=p),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # dfeats init (aliased)
+                pl.BlockSpec((1, p, p, c), lambda i, *_: (i, 0, 0, 0)),
+                pl.BlockSpec((1, p, patch_y), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, p, patch_x), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, p, w), lambda i, *_: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((patch_y, patch_x, c), jnp.float32),
+                pltpu.VMEM((2, w, c), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((h, w, c), jnp.float32),
+        # input index 5 = dfeats_init (after the 5 scalar-prefetch operands)
+        input_output_aliases={5: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        y_start,
+        x_start,
+        row0,
+        mode,
+        tmat,
+        zeros,
+        dout,
+        ymat,
+        xmat,
+        wmat,
+    )
+
+
+def _pyramid_fwd_impl(features, boxes, pool_size, image_shape, denominator, interpret):
     from maskrcnn_tf2_tpu.ops.roi_align import roi_level_assignment
 
     boxes = jax.lax.stop_gradient(boxes).astype(jnp.float32)
-    b, n, _ = boxes.shape
     image_area = float(image_shape[0]) * float(image_shape[1])
     levels = roi_level_assignment(boxes, image_area, len(features), denominator)
     valid = (boxes[..., 2] > boxes[..., 0]) & (boxes[..., 3] > boxes[..., 1])
@@ -261,3 +415,66 @@ def pyramid_roi_align_pallas(
         )(f, boxes, active)
         out = lvl_out if out is None else out + lvl_out
     return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _pyramid_roi_align_pallas(
+    features, boxes, pool_size, image_shape, denominator, interpret, shapes_dtypes
+):
+    return _pyramid_fwd_impl(features, boxes, pool_size, image_shape, denominator, interpret)
+
+
+def _pyramid_fwd(features, boxes, pool_size, image_shape, denominator, interpret, shapes_dtypes):
+    out = _pyramid_fwd_impl(features, boxes, pool_size, image_shape, denominator, interpret)
+    return out, boxes
+
+
+def _pyramid_bwd(pool_size, image_shape, denominator, interpret, shapes_dtypes, res, dout):
+    from maskrcnn_tf2_tpu.ops.roi_align import roi_level_assignment
+
+    boxes = res.astype(jnp.float32)
+    image_area = float(image_shape[0]) * float(image_shape[1])
+    levels = roi_level_assignment(boxes, image_area, len(shapes_dtypes), denominator)
+    valid = (boxes[..., 2] > boxes[..., 0]) & (boxes[..., 3] > boxes[..., 1])
+
+    dfeats = []
+    for lvl, (shape, dtype) in enumerate(shapes_dtypes):
+        _, h, w, c = shape
+        dtype = jnp.dtype(dtype)
+        active = (levels == lvl) & valid
+        df = jax.vmap(
+            lambda di, bi, ai: roi_align_level_bwd_pallas(
+                di, bi, ai, h, w, c, pool_size, interpret=interpret
+            )
+        )(dout, boxes, active)
+        dfeats.append(df.astype(dtype))
+    # boxes get no gradient (reference stop_gradient, mrcnn_layers.py:617-641)
+    return dfeats, jnp.zeros_like(boxes)
+
+
+_pyramid_roi_align_pallas.defvjp(_pyramid_fwd, _pyramid_bwd)
+
+
+def pyramid_roi_align_pallas(
+    features,  # list of [B, Hl, Wl, C]
+    boxes: jnp.ndarray,  # [B, N, 4]
+    pool_size: int,
+    image_shape,
+    denominator: float = 244.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full pyramid ROIAlign via the per-level Pallas kernel (sum of levels).
+
+    Differentiable: a custom VJP routes the feature cotangent through the
+    serial scatter kernel (``_bwd_kernel``); boxes receive zero gradient,
+    matching the reference's stop_gradient on crop boxes.
+    """
+    return _pyramid_roi_align_pallas(
+        list(features),
+        boxes,
+        int(pool_size),
+        (int(image_shape[0]), int(image_shape[1])),
+        float(denominator),
+        bool(interpret),
+        tuple((tuple(f.shape), str(f.dtype)) for f in features),
+    )

@@ -145,7 +145,11 @@ def non_max_suppression(
         if pad:
             boxes_s = jnp.concatenate([boxes_s, jnp.zeros((pad, 4), boxes_s.dtype)])
             valid_s = jnp.concatenate([valid_s, jnp.zeros((pad,), bool)])
-        keep = greedy_keep_pallas(boxes_s, valid_s, iou_threshold)[:n]
+        # Early exit once max_output_size boxes are kept: only the top
+        # max_output_size kept rows (in score order) are consumed below.
+        keep = greedy_keep_pallas(
+            boxes_s, valid_s, iou_threshold, limit=max_output_size
+        )[:n]
     else:
         # Pad to a tile multiple (padding rows are invalid).
         tile = min(TILE, max(n, 1))

@@ -306,16 +306,25 @@ def pyramid_roi_align(
       (measured 68 vs 56 img/s R101@1024).
     * CPU -> always gather (no MXU; tests/oracles).
     """
-    if os.environ.get("MASKRCNN_TPU_ROIALIGN", "").lower() == "pallas":
-        # Opt-in Pallas patch-DMA kernel: ~1.5x the gather path at inference
-        # scale, but samples beyond its 32px patch clamp (extreme-aspect
-        # boxes only) — see kernels/roi_align_pallas.py.
+    env = os.environ.get("MASKRCNN_TPU_ROIALIGN", "").lower()
+    if env in ("pallas", "gather", "matmul"):
+        choice = env
+    else:
+        try:
+            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        except Exception:
+            on_tpu = False
+        # TPU default: the exact Pallas two-mode DMA kernel, both modes —
+        # measured vs the XLA paths at both scales (scripts/bench_roialign.py;
+        # custom VJP covers training). CPU: gather (no MXU; tests/oracles).
+        choice = "pallas" if on_tpu else "gather"
+    if choice == "pallas":
         from maskrcnn_tf2_tpu.kernels.roi_align_pallas import pyramid_roi_align_pallas
 
         return pyramid_roi_align_pallas(
             features, boxes, pool_size, image_shape, denominator
         )
-    if training and _use_matmul():
+    if choice == "matmul" or (training and _use_matmul()):
         return pyramid_roi_align_matmul(
             features, boxes, pool_size, image_shape, denominator
         )

@@ -63,23 +63,25 @@ def main():
             ("matmul", pyramid_roi_align_matmul),
             ("pallas", pyramid_roi_align_pallas),
         ):
-            f = jax.jit(lambda bx, fn=fn, pool=pool: fn(feats, bx, pool, (img, img)))
-            out = jax.block_until_ready(f(boxes))  # compile + warm
+            # feats must be jit ARGUMENTS: closed-over arrays embed ~270 MB
+            # of constants into the remote-compile payload (HTTP 413).
+            f = jax.jit(lambda fs, bx, fn=fn, pool=pool: fn(fs, bx, pool, (img, img)))
+            out = jax.block_until_ready(f(feats, boxes))  # compile + warm
             iters = 20
             t0 = time.perf_counter()
             for _ in range(iters):
-                out = f(boxes)
+                out = f(feats, boxes)
             jax.block_until_ready(out)
             results[f"{tag}_{name}_ms"] = round(
                 (time.perf_counter() - t0) / iters * 1e3, 2
             )
         # numeric agreement pallas vs gather at bf16 tolerance
         g = np.asarray(
-            jax.jit(lambda bx: pyramid_roi_align_gather(feats, bx, pool, (img, img)))(boxes),
+            jax.jit(lambda fs, bx: pyramid_roi_align_gather(fs, bx, pool, (img, img)))(feats, boxes),
             np.float32,
         )
         p = np.asarray(
-            jax.jit(lambda bx: pyramid_roi_align_pallas(feats, bx, pool, (img, img)))(boxes),
+            jax.jit(lambda fs, bx: pyramid_roi_align_pallas(fs, bx, pool, (img, img)))(feats, boxes),
             np.float32,
         )
         results[f"{tag}_pallas_maxerr"] = float(np.abs(g - p).max())

@@ -57,6 +57,25 @@ def test_nms_kernel_validity_mask_and_chains():
     assert not keep_p[3]
 
 
+def test_nms_kernel_early_exit_limit_preserves_topk_selection():
+    """With limit=k the kernel may stop before later tiles, but the top-k
+    kept rows (what fixed-slot callers take, in score order) are identical
+    to the unlimited run."""
+    n = 4 * TILE
+    boxes = jnp.asarray(random_sorted_boxes(7, n))
+    valid = jnp.ones((n,), bool)
+    k = 40
+    keep_full = np.asarray(greedy_keep_pallas(boxes, valid, 0.5, interpret=True))
+    keep_lim = np.asarray(
+        greedy_keep_pallas(boxes, valid, 0.5, interpret=True, limit=k)
+    )
+    # both runs agree on every processed row, and the limited run kept >= k
+    topk_full = np.nonzero(keep_full)[0][:k]
+    topk_lim = np.nonzero(keep_lim)[0][:k]
+    np.testing.assert_array_equal(topk_full, topk_lim)
+    assert keep_lim.sum() >= k
+
+
 def _pyramid(rs, c=24):
     return [
         jnp.asarray(rs.randn(2, s, s, c).astype(np.float32))
@@ -93,6 +112,48 @@ def test_roi_align_kernel_exact_at_all_aspect_ratios():
             pyramid_roi_align_gather(feats, jnp.asarray(boxes), pool, (256, 256))
         )
         np.testing.assert_allclose(out_p, out_g, atol=2e-5)
+
+
+def test_roi_align_kernel_vjp_matches_gather_gradient():
+    """The custom-VJP scatter kernel (serial RMW accumulation) is the exact
+    transpose: feature cotangents match jax.grad of the gather oracle, and
+    boxes receive zero gradient (reference stop_gradient semantics)."""
+    import jax
+
+    rs = np.random.RandomState(5)
+    b, n = 2, 16
+    feats = _pyramid(rs)
+    y1, x1 = rs.uniform(0, 0.6, (2, b, n))
+    scale = np.exp(rs.uniform(np.log(0.05), np.log(0.6), (b, n)))
+    aspect = np.exp(rs.normal(0, 0.8, (b, n)))
+    h = np.minimum(scale * aspect, 0.9)
+    w = np.minimum(scale / aspect, 0.9)
+    boxes = jnp.asarray(
+        np.stack([y1, x1, np.minimum(y1 + h, 1.0), np.minimum(x1 + w, 1.0)], -1)
+        .astype(np.float32)
+    )
+    boxes = boxes.at[0, 0].set(jnp.zeros(4))  # a padding ROI
+    # a strip-mode ROI: full-height sliver
+    boxes = boxes.at[1, 1].set(jnp.asarray([0.0, 0.4, 1.0, 0.43]))
+    for pool in (7, 14):
+        cot = jnp.asarray(rs.randn(b, n, pool, pool, feats[0].shape[-1]).astype(np.float32))
+
+        def loss_p(fs, bx):
+            return jnp.sum(
+                pyramid_roi_align_pallas(fs, bx, pool, (256, 256), interpret=True) * cot
+            )
+
+        def loss_g(fs):
+            return jnp.sum(pyramid_roi_align_gather(fs, boxes, pool, (256, 256)) * cot)
+
+        gf_p, gb_p = jax.grad(loss_p, argnums=(0, 1))(feats, boxes)
+        gf_g = jax.grad(loss_g)(feats)
+        assert np.abs(np.asarray(gb_p)).max() == 0.0
+        for lvl, (a, o) in enumerate(zip(gf_p, gf_g)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(o), atol=1e-4,
+                err_msg=f"pool={pool} level={lvl}",
+            )
 
 
 def test_roi_align_patch_kernel_zero_for_padding_rois():
