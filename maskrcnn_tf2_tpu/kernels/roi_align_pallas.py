@@ -1,25 +1,40 @@
-"""Pallas TPU kernel: EXACT per-ROI DMA ROIAlign (single FPN level).
+"""Pallas TPU kernel: EXACT pyramid ROIAlign, one kernel over all FPN levels.
 
 The third TRT-plugin equivalent (``PyramidROIAlign_TRT``,
 inference_optimize.py:168-198) as a native kernel, exact for every box
-aspect ratio and scale (the TRT plugin is exact; so is this). One grid step
-per ROI with two DMA modes, selected per ROI on the host side:
+aspect ratio and scale (the TRT plugin is exact; so is this).
 
-* **patch mode** — the ROI's sample grid fits a static ``PATCH_Y x PATCH_X``
-  window (true for the typical ROI: the FPN level formula bounds a box's
-  on-level scale to ~16-32 px, so only elongated boxes overflow): ONE
-  double-buffered DMA of the window, then the separable bilinear
+Grid = (batch, roi): each grid step pools ONE ROI from ITS assigned FPN
+level — a single pass over the ROIs (an earlier per-level design ran a
+kernel per level over all ROIs: 4x the grid steps, 4x the inactive-slot
+zero writes, plus a 4-way output sum; and vmapping over batch wrapped every
+image in a dynamic-update-slice — folding batch into the grid removes both).
+
+Two DMA modes per ROI, selected host-side:
+
+* **patch mode** — the ROI's sample grid fits a static
+  ``min(PATCH_Y, H_l) x min(PATCH_X, W_l)`` window (true for the typical
+  ROI: the FPN level formula bounds a box's on-level scale to ~16-32 px):
+  ONE double-buffered DMA of the window, then the separable bilinear
   contraction (Y @ patch @ X^T) on the MXU.
-* **strip mode** — any other geometry: ``P`` DMAs of ``[2, W, C]``
+* **strip mode** — any other geometry: ``P`` DMAs of ``[2, W_l, C]``
   full-width row pairs (one per pooled row). Exact for arbitrarily tall
   boxes (each output row only needs its two neighbor feature rows) and
-  arbitrarily wide boxes (the full row serves any x-span); the x
-  contraction is a hat-weight matmul over the whole row.
+  arbitrarily wide boxes (the full row serves any x-span).
 
-ROIs not assigned to this level write zeros; summing the per-level outputs
-yields the full pyramid ROIAlign (each ROI is on exactly one level).
-Exactness is pinned against the XLA gather oracle at all aspect ratios in
-tests/test_pallas_interpret.py (no tolerance escape hatch).
+The within-pair fraction ``t`` lives in SMEM scalar prefetch — vector
+reshapes moving it across the lane dim are not lowerable (Mosaic
+"unsupported shape cast"), so strip rows contract one pooled row at a time
+with scalar ``t``.
+
+Differentiable: a custom VJP routes the feature cotangent through a serial
+read-modify-write scatter kernel (overlapping ROI windows make every RMW a
+potential RAW hazard with the previous ROI's write, so the backward runs
+without double buffering); boxes receive zero gradient, matching the
+reference's stop_gradient on crop boxes (mrcnn_layers.py:617-641).
+
+Exactness is pinned against the XLA gather oracle at all aspect ratios and
+for the VJP in tests/test_pallas_interpret.py (no tolerance escape hatch).
 """
 
 from __future__ import annotations
@@ -35,419 +50,464 @@ PATCH_Y = 32
 PATCH_X = 40  # 32 + 8 slack so the 8-aligned x origin still covers 31 px
 
 
-def _kernel(
-    # scalar prefetch
-    y_start_ref,  # [G] int32 patch-mode row origin per roi
-    x_start_ref,  # [G] int32 patch-mode col origin (8-aligned)
-    row0_ref,  # [G, P] int32 strip-mode row-pair origins (<= H-2)
-    mode_ref,  # [G] int32: 0 = inactive, 1 = patch, 2 = strips
-    tmat_ref,  # [G, P] f32 strip-mode within-pair fraction (SMEM scalars)
-    # tensor inputs
-    feats_ref,  # [H, W, C] in ANY/HBM (per-image handled by caller vmap)
-    ymat_ref,  # [G, P, PATCH_Y] f32 patch-mode row interpolation (VMEM block)
-    xmat_ref,  # [G, P, PATCH_X] f32 patch-mode col interpolation
-    wmat_ref,  # [G, P, W] f32 strip-mode full-width hat weights
-    # output
-    out_ref,  # [G, P, P, C] (VMEM block per grid step: [1, P, P, C])
-    # scratch
-    patch,  # VMEM [2, PATCH_Y, PATCH_X, C]
-    strips,  # VMEM [2, P, 2, W, C]
-    psem,  # DMA sems [2]
-    ssem,  # DMA sems [2, P]
-    *,
+def _pyramid_geometry(boxes, valid, levels, level_hw, p, patch_y, patch_x):
+    """Per-ROI DMA geometry at each ROI's assigned level.
+
+    boxes: [N, 4] normalized; valid: [N] bool; levels: [N] int32 in
+    [0, L); level_hw: static list of (H_l, W_l). Returns
+    (y_start, x_start, row0, mode, tmat, ymat, xmat, wmat) with the strip
+    width axis padded to max(W_l).
+    """
+    boxes = boxes.astype(jnp.float32)
+    w_max = max(w for _, w in level_hw)
+    y1, x1, y2, x2 = (boxes[:, i] for i in range(4))
+
+    outs = {}
+    for lvl, (h, w) in enumerate(level_hw):
+        py = min(patch_y, h)
+        px = min(patch_x, w)
+        if p > 1:
+            frac = jnp.arange(p, dtype=jnp.float32) / (p - 1)
+            ys = (y1[:, None] + (y2 - y1)[:, None] * frac) * (h - 1)  # [N, P]
+            xs = (x1[:, None] + (x2 - x1)[:, None] * frac) * (w - 1)
+        else:
+            ys = (0.5 * (y1 + y2))[:, None] * (h - 1)
+            xs = (0.5 * (x1 + x2))[:, None] * (w - 1)
+        ys = jnp.clip(ys, 0.0, float(h - 1))
+        xs = jnp.clip(xs, 0.0, float(w - 1))
+
+        y_start = jnp.clip(jnp.floor(ys[:, 0]).astype(jnp.int32), 0, max(h - py, 0))
+        x_start = jnp.clip(jnp.floor(xs[:, 0]).astype(jnp.int32), 0, max(w - px, 0))
+        x_start = (x_start // 8) * 8  # align to the (8, 128) feature tiling
+        rel_y = ys - y_start[:, None].astype(jnp.float32)
+        rel_x = xs - x_start[:, None].astype(jnp.float32)
+        fits = (
+            (rel_y[:, -1] <= py - 1.0001)
+            & (rel_x[:, -1] <= px - 1.0001)
+            & (rel_y[:, 0] >= 0.0)
+            & (rel_x[:, 0] >= 0.0)
+        )
+        ymat = jnp.maximum(
+            0.0,
+            1.0 - jnp.abs(rel_y[:, :, None] - jnp.arange(patch_y, dtype=jnp.float32)),
+        )  # [N, P, PATCH_Y] (zero weight beyond the level's py window)
+        xmat = jnp.maximum(
+            0.0,
+            1.0 - jnp.abs(rel_x[:, :, None] - jnp.arange(patch_x, dtype=jnp.float32)),
+        )
+        row0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, max(h - 2, 0))  # [N, P]
+        tmat = ys - row0.astype(jnp.float32)
+        wmat = jnp.maximum(
+            0.0, 1.0 - jnp.abs(xs[:, :, None] - jnp.arange(w_max, dtype=jnp.float32))
+        )
+        wmat = wmat * (jnp.arange(w_max) < w)  # no weight beyond the level width
+
+        is_l = levels == lvl
+        for key, val in (
+            ("y_start", y_start),
+            ("x_start", x_start),
+            ("fits", fits),
+            ("row0", row0),
+            ("tmat", tmat),
+            ("ymat", ymat),
+            ("xmat", xmat),
+            ("wmat", wmat),
+        ):
+            prev = outs.get(key)
+            if prev is None:
+                outs[key] = val
+            else:
+                m = is_l.reshape((-1,) + (1,) * (val.ndim - 1))
+                outs[key] = jnp.where(m, val, prev)
+
+    mode = jnp.where(valid, jnp.where(outs["fits"], 1, 2), 0).astype(jnp.int32)
+    return (
+        outs["y_start"],
+        outs["x_start"],
+        outs["row0"],
+        mode,
+        outs["tmat"],
+        outs["ymat"],
+        outs["xmat"],
+        outs["wmat"],
+    )
+
+
+def _fwd_kernel(
+    # scalar prefetch (SMEM) — all FLATTENED to 1-D: ranked SMEM operands
+    # pad their last dim to 128 lanes (a [B, G, P] int32 would claim 4 MB of
+    # the 1 MB SMEM); 1-D arrays are stored densely.
+    level_ref,  # [B*G] int32 assigned level
+    y_start_ref,  # [B*G] int32 patch-mode row origin
+    x_start_ref,  # [B*G] int32 patch-mode col origin (8-aligned)
+    row0_ref,  # [B*G*P] int32 strip-mode row-pair origins
+    mode_ref,  # [B*G] int32: 0 inactive, 1 patch, 2 strips
+    tmat_ref,  # [B*G*P] f32 strip within-pair fraction
+    # tensor inputs / output / scratch (see unpacking below)
+    *refs,
     patch_y: int,
     patch_x: int,
-    n_rois: int,
     pool: int,
+    n_rois: int,
+    batch: int,
+    level_hw: tuple,
 ):
-    g = pl.program_id(0)
-    slot = jax.lax.rem(g, 2)
+    n_levels = len(level_hw)
+    feats = refs[:n_levels]
+    ymat_ref, xmat_ref, wmat_ref, out_ref = refs[n_levels : n_levels + 4]
+    patch, strips, psem, ssem = refs[n_levels + 4 :]
 
-    def patch_dma(i, slot_i):
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    step = b * n_rois + g
+    slot = jax.lax.rem(step, 2)
+
+    def patch_dma(bb, st, slot_i, lvl):
+        h, w = level_hw[lvl]
+        py, px = min(patch_y, h), min(patch_x, w)
         return pltpu.make_async_copy(
-            feats_ref.at[
-                pl.ds(y_start_ref[i], patch_y),
-                pl.ds(pl.multiple_of(x_start_ref[i], 8), patch_x),
+            feats[lvl].at[
+                bb,
+                pl.ds(y_start_ref[st], py),
+                pl.ds(pl.multiple_of(x_start_ref[st], 8), px),
                 :,
             ],
-            patch.at[slot_i],
+            patch.at[slot_i, pl.ds(0, py), pl.ds(0, px), :],
             psem.at[slot_i],
         )
 
-    def strip_dma(i, row, slot_i):
+    def strip_dma(bb, st, row, slot_i, lvl):
+        w = level_hw[lvl][1]
         return pltpu.make_async_copy(
-            feats_ref.at[pl.ds(row0_ref[i, row], 2), :, :],
-            strips.at[slot_i, row],
+            feats[lvl].at[bb, pl.ds(row0_ref[st * pool + row], 2), :, :],
+            strips.at[slot_i, row, :, pl.ds(0, w), :],
             ssem.at[slot_i, row],
         )
 
-    def start_dmas(i, slot_i):
-        @pl.when(mode_ref[i] == 1)
+    def start_dmas(bb, st, slot_i):
+        for lvl in range(n_levels):
+            on_lvl = level_ref[st] == lvl
+
+            @pl.when((mode_ref[st] == 1) & on_lvl)
+            def _():
+                patch_dma(bb, st, slot_i, lvl).start()
+
+            @pl.when((mode_ref[st] == 2) & on_lvl)
+            def _():
+                for r in range(pool):
+                    strip_dma(bb, st, r, slot_i, lvl).start()
+
+    # warm-up: first step starts its own DMAs; every step prefetches the next
+    @pl.when(step == 0)
+    def _():
+        start_dmas(0, 0, 0)
+
+    @pl.when(step + 1 < batch * n_rois)
+    def _():
+        nxt = step + 1
+        start_dmas(nxt // n_rois, nxt, jax.lax.rem(nxt, 2))
+
+    c = out_ref.shape[-1]
+
+    @pl.when(mode_ref[step] == 0)
+    def _():
+        out_ref[0, 0] = jnp.zeros_like(out_ref[0, 0])
+
+    for lvl in range(n_levels):
+        h, w = level_hw[lvl]
+        py, px = min(patch_y, h), min(patch_x, w)
+        on_lvl = level_ref[step] == lvl
+
+        @pl.when((mode_ref[step] == 1) & on_lvl)
         def _():
-            patch_dma(i, slot_i).start()
-
-        @pl.when(mode_ref[i] == 2)
-        def _():
-            for r in range(pool):
-                strip_dma(i, r, slot_i).start()
-
-    # warm-up: step 0 starts its own DMAs; every step prefetches the next ROI
-    @pl.when(g == 0)
-    def _():
-        start_dmas(0, 0)
-
-    @pl.when(g + 1 < n_rois)
-    def _():
-        start_dmas(g + 1, (g + 1) % 2)
-
-    def xcontract(rows, xm):
-        """rows [P, Wx, C] x xm [P, Wx] -> out [P, P, C] via one MXU matmul."""
-        wx, c = rows.shape[1], rows.shape[2]
-        out = jax.lax.dot_general(
-            xm,
-            rows.transpose(1, 0, 2).reshape(wx, pool * c),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [P(q), P(p)*C]
-        return out.reshape(pool, pool, c).transpose(1, 0, 2)
-
-    @pl.when(mode_ref[g] == 1)
-    def _():
-        patch_dma(g, slot).wait()
-        f = patch[slot].astype(jnp.float32)  # [PATCH_Y, PATCH_X, C]
-        c = f.shape[-1]
-        ym = ymat_ref[0]  # [P, PATCH_Y]
-        rows = jax.lax.dot_general(
-            ym,
-            f.reshape(patch_y, patch_x * c),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(pool, patch_x, c)
-        out_ref[0] = xcontract(rows, xmat_ref[0]).astype(out_ref.dtype)
-
-    @pl.when(mode_ref[g] == 2)
-    def _():
-        wm = wmat_ref[0]  # [P(q), W]
-        for r in range(pool):
-            strip_dma(g, r, slot).wait()
-            t = tmat_ref[g, r]  # f32 scalar (SMEM) — vector reshapes of the
-            # lane-dim t were not lowerable (Mosaic "unsupported shape cast")
-            f = strips[slot, r].astype(jnp.float32)  # [2, W, C]
-            row = f[0] * (1.0 - t) + f[1] * t  # [W, C]
-            o = jax.lax.dot_general(
-                wm, row, (((1,), (0,)), ((), ())),
+            patch_dma(b, step, slot, lvl).wait()
+            f = patch[slot, pl.ds(0, py), pl.ds(0, px), :].astype(jnp.float32)
+            ym = ymat_ref[0, 0, :, pl.ds(0, py)]  # [P, py]
+            xm = xmat_ref[0, 0, :, pl.ds(0, px)]  # [P, px]
+            rows = jax.lax.dot_general(
+                ym,
+                f.reshape(py, px * c),
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [P(q), C]
-            out_ref[0, r] = o.astype(out_ref.dtype)
+            ).reshape(pool, px, c)
+            out = jax.lax.dot_general(
+                xm,
+                rows.transpose(1, 0, 2).reshape(px, pool * c),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [P(q), P(p)*C]
+            out = out.reshape(pool, pool, c).transpose(1, 0, 2)
+            out_ref[0, 0] = out.astype(out_ref.dtype)
 
-    @pl.when(mode_ref[g] == 0)
-    def _():
-        out_ref[0] = jnp.zeros_like(out_ref[0])
-
-
-def _level_geometry(boxes, active, h, w, p, patch_y, patch_x):
-    """Per-ROI DMA geometry shared by the forward and backward kernels:
-    (y_start, x_start, row0, mode, ymat, xmat, tmat, wmat)."""
-    boxes = boxes.astype(jnp.float32)
-    y1, x1, y2, x2 = (boxes[:, i] for i in range(4))
-    if p > 1:
-        frac = jnp.arange(p, dtype=jnp.float32) / (p - 1)
-        ys = (y1[:, None] + (y2 - y1)[:, None] * frac) * (h - 1)  # [G, P]
-        xs = (x1[:, None] + (x2 - x1)[:, None] * frac) * (w - 1)
-    else:
-        ys = (0.5 * (y1 + y2))[:, None] * (h - 1)
-        xs = (0.5 * (x1 + x2))[:, None] * (w - 1)
-    ys = jnp.clip(ys, 0.0, float(h - 1))
-    xs = jnp.clip(xs, 0.0, float(w - 1))
-
-    # ---- patch mode geometry (one window DMA) ----
-    y_start = jnp.clip(jnp.floor(ys[:, 0]).astype(jnp.int32), 0, max(h - patch_y, 0))
-    # x origin aligned down to the (8, 128) sublane tiling of the feature map
-    x_start = jnp.clip(jnp.floor(xs[:, 0]).astype(jnp.int32), 0, max(w - patch_x, 0))
-    x_start = (x_start // 8) * 8
-    rel_y = ys - y_start[:, None].astype(jnp.float32)
-    rel_x = xs - x_start[:, None].astype(jnp.float32)
-    # a ROI may use the patch iff every sample's 2-tap stencil lies inside
-    fits_patch = (
-        (rel_y[:, -1] <= patch_y - 1.0001)
-        & (rel_x[:, -1] <= patch_x - 1.0001)
-        & (rel_y[:, 0] >= 0.0)
-        & (rel_x[:, 0] >= 0.0)
-    )
-    ymat = jnp.maximum(
-        0.0, 1.0 - jnp.abs(rel_y[:, :, None] - jnp.arange(patch_y, dtype=jnp.float32))
-    )  # [G, P, PATCH_Y]
-    xmat = jnp.maximum(
-        0.0, 1.0 - jnp.abs(rel_x[:, :, None] - jnp.arange(patch_x, dtype=jnp.float32))
-    )  # [G, P, PATCH_X]
-
-    # ---- strip mode geometry (P row-pair DMAs) ----
-    row0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, max(h - 2, 0))  # [G, P]
-    tmat = ys - row0.astype(jnp.float32)  # in [0, 1]
-    wmat = jnp.maximum(
-        0.0, 1.0 - jnp.abs(xs[:, :, None] - jnp.arange(w, dtype=jnp.float32))
-    )  # [G, P, W]
-
-    mode = jnp.where(active, jnp.where(fits_patch, 1, 2), 0).astype(jnp.int32)
-    return y_start, x_start, row0, mode, ymat, xmat, tmat, wmat
+        @pl.when((mode_ref[step] == 2) & on_lvl)
+        def _():
+            wm = wmat_ref[0, 0, :, pl.ds(0, w)]  # [P(q), W_l]
+            for r in range(pool):
+                strip_dma(b, step, r, slot, lvl).wait()
+                t = tmat_ref[step * pool + r]
+                f = strips[slot, r, :, pl.ds(0, w), :].astype(jnp.float32)
+                row = f[0] * (1.0 - t) + f[1] * t  # [W_l, C]
+                o = jax.lax.dot_general(
+                    wm, row, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [P(q), C]
+                out_ref[0, 0, r] = o.astype(out_ref.dtype)
 
 
-def roi_align_level_pallas(
-    feats: jnp.ndarray,  # [H, W, C] one image, one level
-    boxes: jnp.ndarray,  # [G, 4] normalized
-    active: jnp.ndarray,  # [G] bool (assigned to this level & valid)
-    pool_size: int,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """[G, P, P, C] pooled features; zeros for inactive ROIs. Exact."""
-    h, w, c = feats.shape
-    g = boxes.shape[0]
+def _bwd_kernel(
+    # scalar prefetch (SMEM) — flattened 1-D (see _fwd_kernel)
+    level_ref,  # [B*G]
+    y_start_ref,  # [B*G]
+    x_start_ref,  # [B*G]
+    row0_ref,  # [B*G*P]
+    mode_ref,  # [B*G]
+    tmat_ref,  # [B*G*P] f32
+    # tensor inputs / outputs / scratch (see unpacking below)
+    *refs,
+    patch_y: int,
+    patch_x: int,
+    pool: int,
+    level_hw: tuple,
+):
+    """Transpose of the forward kernel: serial RMW scatter-accumulate each
+    ROI's pooled cotangent into its level's (zero-initialized, aliased)
+    feature-map cotangent buffer."""
+    n_levels = len(level_hw)
+    dout_ref, ymat_ref, xmat_ref, wmat_ref = refs[n_levels : n_levels + 4]
+    dfeats = refs[n_levels + 4 : 2 * n_levels + 4]
+    win, spair, wsem, ssem = refs[2 * n_levels + 4 :]
+
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    step = b * pl.num_programs(1) + g
+    dout = dout_ref[0, 0].astype(jnp.float32)  # [P, P, C]
+    c = dout.shape[-1]
+
+    for lvl in range(n_levels):
+        h, w = level_hw[lvl]
+        py, px = min(patch_y, h), min(patch_x, w)
+        on_lvl = level_ref[step] == lvl
+
+        @pl.when((mode_ref[step] == 1) & on_lvl)
+        def _():
+            ym = ymat_ref[0, 0, :, pl.ds(0, py)]  # [P, py]
+            xm = xmat_ref[0, 0, :, pl.ds(0, px)]  # [P, px]
+            # drows[p, x, c] = sum_q xm[q, x] * dout[p, q, c]
+            drows = jax.lax.dot_general(
+                xm,
+                dout.transpose(1, 0, 2).reshape(pool, pool * c),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(px, pool, c).transpose(1, 0, 2)  # [P, px, C]
+            dpatch = jax.lax.dot_general(
+                ym,
+                drows.reshape(pool, px * c),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(py, px, c)
+            window = dfeats[lvl].at[
+                b,
+                pl.ds(y_start_ref[step], py),
+                pl.ds(pl.multiple_of(x_start_ref[step], 8), px),
+                :,
+            ]
+            wv = win.at[pl.ds(0, py), pl.ds(0, px), :]
+            read = pltpu.make_async_copy(window, wv, wsem)
+            read.start()
+            read.wait()
+            win[pl.ds(0, py), pl.ds(0, px), :] = (
+                win[pl.ds(0, py), pl.ds(0, px), :] + dpatch
+            )
+            write = pltpu.make_async_copy(wv, window, wsem)
+            write.start()
+            write.wait()
+
+        @pl.when((mode_ref[step] == 2) & on_lvl)
+        def _():
+            wm = wmat_ref[0, 0, :, pl.ds(0, w)]  # [P(q), W_l]
+            for r in range(pool):
+                t = tmat_ref[step * pool + r]
+                # drow[x, c] = sum_q wm[q, x] * dout[r, q, c]
+                drow = jax.lax.dot_general(
+                    wm, dout[r], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [W_l, C]
+                pair = dfeats[lvl].at[b, pl.ds(row0_ref[step * pool + r], 2), :, :]
+                sv = spair.at[:, pl.ds(0, w), :]
+                read = pltpu.make_async_copy(pair, sv, ssem)
+                read.start()
+                read.wait()
+                spair[0, pl.ds(0, w), :] = spair[0, pl.ds(0, w), :] + drow * (1.0 - t)
+                spair[1, pl.ds(0, w), :] = spair[1, pl.ds(0, w), :] + drow * t
+                write = pltpu.make_async_copy(sv, pair, ssem)
+                write.start()
+                write.wait()
+
+
+def _batched_geometry(boxes, pool_size, image_shape, denominator, level_hw):
+    from maskrcnn_tf2_tpu.ops.roi_align import roi_level_assignment
+
+    boxes = jax.lax.stop_gradient(boxes).astype(jnp.float32)
+    image_area = float(image_shape[0]) * float(image_shape[1])
+    levels = roi_level_assignment(boxes, image_area, len(level_hw), denominator)
+    valid = (boxes[..., 2] > boxes[..., 0]) & (boxes[..., 3] > boxes[..., 1])
+    patch_y = min(PATCH_Y, max(h for h, _ in level_hw))
+    patch_x = min(PATCH_X, max(w for _, w in level_hw))
+    geo = jax.vmap(
+        lambda bx, vl, lv: _pyramid_geometry(
+            bx, vl, lv, level_hw, pool_size, patch_y, patch_x
+        )
+    )(boxes, valid, levels)
+    return levels, geo, patch_y, patch_x
+
+
+def _pyramid_fwd_impl(features, boxes, pool_size, image_shape, denominator, interpret):
+    level_hw = tuple((f.shape[1], f.shape[2]) for f in features)
+    bsz, g = boxes.shape[0], boxes.shape[1]
     p = pool_size
-    patch_y = min(PATCH_Y, h)
-    patch_x = min(PATCH_X, w)
-    y_start, x_start, row0, mode, ymat, xmat, tmat, wmat = _level_geometry(
-        boxes, active, h, w, p, patch_y, patch_x
+    c = features[0].shape[-1]
+    w_max = max(w for _, w in level_hw)
+    levels, geo, patch_y, patch_x = _batched_geometry(
+        boxes, pool_size, image_shape, denominator, level_hw
     )
+    y_start, x_start, row0, mode, tmat, ymat, xmat, wmat = geo
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(
-            _kernel, patch_y=patch_y, patch_x=patch_x, n_rois=g, pool=p
+            _fwd_kernel,
+            patch_y=patch_y,
+            patch_x=patch_x,
+            pool=p,
+            n_rois=g,
+            batch=bsz,
+            level_hw=level_hw,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
-            grid=(g,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # feats stay in HBM
-                pl.BlockSpec((1, p, patch_y), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((1, p, patch_x), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((1, p, w), lambda i, *_: (i, 0, 0)),
+            num_scalar_prefetch=6,
+            grid=(bsz, g),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(level_hw)
+            + [
+                pl.BlockSpec((1, 1, p, patch_y), lambda b, i, *_: (b, i, 0, 0)),
+                pl.BlockSpec((1, 1, p, patch_x), lambda b, i, *_: (b, i, 0, 0)),
+                pl.BlockSpec((1, 1, p, w_max), lambda b, i, *_: (b, i, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, p, p, c), lambda i, *_: (i, 0, 0, 0)),
+            out_specs=pl.BlockSpec(
+                (1, 1, p, p, c), lambda b, i, *_: (b, i, 0, 0, 0)
+            ),
             scratch_shapes=[
-                pltpu.VMEM((2, patch_y, patch_x, c), feats.dtype),
-                pltpu.VMEM((2, p, 2, w, c), feats.dtype),
+                pltpu.VMEM((2, patch_y, patch_x, c), features[0].dtype),
+                pltpu.VMEM((2, p, 2, w_max, c), features[0].dtype),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2, p)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((g, p, p, c), feats.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, g, p, p, c), features[0].dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
-        y_start,
-        x_start,
-        row0,
-        mode,
-        tmat,
-        feats,
+        levels.astype(jnp.int32).reshape(-1),
+        y_start.reshape(-1),
+        x_start.reshape(-1),
+        row0.reshape(-1),
+        mode.reshape(-1),
+        tmat.reshape(-1),
+        *features,
         ymat,
         xmat,
         wmat,
     )
-    return out
 
 
-def _bwd_kernel(
-    # scalar prefetch
-    y_start_ref,  # [G]
-    x_start_ref,  # [G]
-    row0_ref,  # [G, P]
-    mode_ref,  # [G]
-    tmat_ref,  # [G, P] f32 (SMEM scalars)
-    # tensor inputs
-    dfeats_in_ref,  # [H, W, C] f32 in ANY/HBM — aliased to the output
-    dout_ref,  # [G, P, P, C] (VMEM block per step: [1, P, P, C])
-    ymat_ref,  # [G, P, PATCH_Y]
-    xmat_ref,  # [G, P, PATCH_X]
-    wmat_ref,  # [G, P, W]
-    # output
-    dfeats_ref,  # [H, W, C] f32 in ANY/HBM (same buffer as dfeats_in_ref)
-    # scratch
-    win,  # VMEM [PATCH_Y, PATCH_X, C] f32
-    spair,  # VMEM [2, W, C] f32
-    wsem,  # DMA sem
-    ssem,  # DMA sem
-    *,
-    patch_y: int,
-    patch_x: int,
-    pool: int,
+def _pyramid_bwd_impl(
+    dout, boxes, pool_size, image_shape, denominator, interpret, shapes_dtypes
 ):
-    """Transpose of the forward kernel: scatter-accumulate each ROI's pooled
-    cotangent back into the level feature map.
-
-    Fully SERIAL per ROI (no double buffering): overlapping ROI windows make
-    every read-modify-write of ``dfeats`` a potential RAW hazard with the
-    previous ROI's write, so each window is read, accumulated and written
-    back with both DMAs awaited before the next grid step touches memory.
-    """
-    g = pl.program_id(0)
-    dout = dout_ref[0].astype(jnp.float32)  # [P, P, C]
-    c = dout.shape[-1]
-
-    def drows_from(xm, wx):
-        """drows[p, w, c] = sum_q xm[q, w] * dout[p, q, c] — transpose of
-        the forward xcontract."""
-        d = jax.lax.dot_general(
-            xm,  # [P(q), Wx]
-            dout.transpose(1, 0, 2).reshape(pool, pool * c),  # [q, p*c]
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [Wx, P*C]
-        return d.reshape(wx, pool, c).transpose(1, 0, 2)  # [P, Wx, C]
-
-    @pl.when(mode_ref[g] == 1)
-    def _():
-        ym = ymat_ref[0]  # [P, PATCH_Y]
-        drows = drows_from(xmat_ref[0], patch_x)  # [P, PATCH_X, C]
-        dpatch = jax.lax.dot_general(
-            ym,
-            drows.reshape(pool, patch_x * c),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(patch_y, patch_x, c)
-        window = dfeats_ref.at[
-            pl.ds(y_start_ref[g], patch_y),
-            pl.ds(pl.multiple_of(x_start_ref[g], 8), patch_x),
-            :,
-        ]
-        read = pltpu.make_async_copy(window, win, wsem)
-        read.start()
-        read.wait()
-        win[...] = win[...] + dpatch
-        write = pltpu.make_async_copy(win, window, wsem)
-        write.start()
-        write.wait()
-
-    @pl.when(mode_ref[g] == 2)
-    def _():
-        wm = wmat_ref[0]  # [P(q), W]
-        for r in range(pool):
-            t = tmat_ref[g, r]  # f32 scalar (SMEM)
-            # drow[w, c] = sum_q wm[q, w] * dout[r, q, c]
-            drow = jax.lax.dot_general(
-                wm, dout[r], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [W, C]
-            pair = dfeats_ref.at[pl.ds(row0_ref[g, r], 2), :, :]
-            read = pltpu.make_async_copy(pair, spair, ssem)
-            read.start()
-            read.wait()
-            spair[0] = spair[0] + drow * (1.0 - t)
-            spair[1] = spair[1] + drow * t
-            write = pltpu.make_async_copy(spair, pair, ssem)
-            write.start()
-            write.wait()
-
-
-def roi_align_level_bwd_pallas(
-    dout: jnp.ndarray,  # [G, P, P, C] cotangent of the pooled output
-    boxes: jnp.ndarray,  # [G, 4] normalized
-    active: jnp.ndarray,  # [G] bool
-    h: int,
-    w: int,
-    c: int,
-    pool_size: int,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """[H, W, C] f32 cotangent of the level feature map (exact transpose)."""
-    g = boxes.shape[0]
+    level_hw = tuple((s[1], s[2]) for s, _ in shapes_dtypes)
+    bsz, g = boxes.shape[0], boxes.shape[1]
     p = pool_size
-    patch_y = min(PATCH_Y, h)
-    patch_x = min(PATCH_X, w)
-    y_start, x_start, row0, mode, ymat, xmat, tmat, wmat = _level_geometry(
-        boxes, active, h, w, p, patch_y, patch_x
+    c = shapes_dtypes[0][0][-1]
+    w_max = max(w for _, w in level_hw)
+    n_levels = len(level_hw)
+    levels, geo, patch_y, patch_x = _batched_geometry(
+        boxes, pool_size, image_shape, denominator, level_hw
     )
-    zeros = jnp.zeros((h, w, c), jnp.float32)
-    return pl.pallas_call(
-        functools.partial(_bwd_kernel, patch_y=patch_y, patch_x=patch_x, pool=p),
+    y_start, x_start, row0, mode, tmat, ymat, xmat, wmat = geo
+
+    zeros = [jnp.zeros((bsz, h, w, c), jnp.float32) for (h, w) in level_hw]
+    out = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel,
+            patch_y=patch_y,
+            patch_x=patch_x,
+            pool=p,
+            level_hw=level_hw,
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
-            grid=(g,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # dfeats init (aliased)
-                pl.BlockSpec((1, p, p, c), lambda i, *_: (i, 0, 0, 0)),
-                pl.BlockSpec((1, p, patch_y), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((1, p, patch_x), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((1, p, w), lambda i, *_: (i, 0, 0)),
+            num_scalar_prefetch=6,
+            grid=(bsz, g),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_levels
+            + [
+                pl.BlockSpec((1, 1, p, p, c), lambda b, i, *_: (b, i, 0, 0, 0)),
+                pl.BlockSpec((1, 1, p, patch_y), lambda b, i, *_: (b, i, 0, 0)),
+                pl.BlockSpec((1, 1, p, patch_x), lambda b, i, *_: (b, i, 0, 0)),
+                pl.BlockSpec((1, 1, p, w_max), lambda b, i, *_: (b, i, 0, 0)),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_levels,
             scratch_shapes=[
                 pltpu.VMEM((patch_y, patch_x, c), jnp.float32),
-                pltpu.VMEM((2, w, c), jnp.float32),
+                pltpu.VMEM((2, w_max, c), jnp.float32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((h, w, c), jnp.float32),
-        # input index 5 = dfeats_init (after the 5 scalar-prefetch operands)
-        input_output_aliases={5: 0},
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, h, w, c), jnp.float32) for (h, w) in level_hw
+        ],
+        # inputs 6..6+L-1 are the zero-initialized dfeats buffers (after the
+        # 6 scalar-prefetch operands), aliased to outputs 0..L-1
+        input_output_aliases={6 + lvl: lvl for lvl in range(n_levels)},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
-        y_start,
-        x_start,
-        row0,
-        mode,
-        tmat,
-        zeros,
+        levels.astype(jnp.int32).reshape(-1),
+        y_start.reshape(-1),
+        x_start.reshape(-1),
+        row0.reshape(-1),
+        mode.reshape(-1),
+        tmat.reshape(-1),
+        *zeros,
         dout,
         ymat,
         xmat,
         wmat,
     )
-
-
-def _pyramid_fwd_impl(features, boxes, pool_size, image_shape, denominator, interpret):
-    from maskrcnn_tf2_tpu.ops.roi_align import roi_level_assignment
-
-    boxes = jax.lax.stop_gradient(boxes).astype(jnp.float32)
-    image_area = float(image_shape[0]) * float(image_shape[1])
-    levels = roi_level_assignment(boxes, image_area, len(features), denominator)
-    valid = (boxes[..., 2] > boxes[..., 0]) & (boxes[..., 3] > boxes[..., 1])
-
-    out = None
-    for lvl, f in enumerate(features):
-        active = (levels == lvl) & valid
-        lvl_out = jax.vmap(
-            lambda fi, bi, ai: roi_align_level_pallas(
-                fi, bi, ai, pool_size, interpret=interpret
-            )
-        )(f, boxes, active)
-        out = lvl_out if out is None else out + lvl_out
-    return out
+    return [df.astype(jnp.dtype(dt)) for df, (_, dt) in zip(out, shapes_dtypes)]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _pyramid_roi_align_pallas(
     features, boxes, pool_size, image_shape, denominator, interpret, shapes_dtypes
 ):
-    return _pyramid_fwd_impl(features, boxes, pool_size, image_shape, denominator, interpret)
+    return _pyramid_fwd_impl(
+        features, boxes, pool_size, image_shape, denominator, interpret
+    )
 
 
-def _pyramid_fwd(features, boxes, pool_size, image_shape, denominator, interpret, shapes_dtypes):
-    out = _pyramid_fwd_impl(features, boxes, pool_size, image_shape, denominator, interpret)
+def _pyramid_fwd(
+    features, boxes, pool_size, image_shape, denominator, interpret, shapes_dtypes
+):
+    out = _pyramid_fwd_impl(
+        features, boxes, pool_size, image_shape, denominator, interpret
+    )
     return out, boxes
 
 
-def _pyramid_bwd(pool_size, image_shape, denominator, interpret, shapes_dtypes, res, dout):
-    from maskrcnn_tf2_tpu.ops.roi_align import roi_level_assignment
-
+def _pyramid_bwd(
+    pool_size, image_shape, denominator, interpret, shapes_dtypes, res, dout
+):
     boxes = res.astype(jnp.float32)
-    image_area = float(image_shape[0]) * float(image_shape[1])
-    levels = roi_level_assignment(boxes, image_area, len(shapes_dtypes), denominator)
-    valid = (boxes[..., 2] > boxes[..., 0]) & (boxes[..., 3] > boxes[..., 1])
-
-    dfeats = []
-    for lvl, (shape, dtype) in enumerate(shapes_dtypes):
-        _, h, w, c = shape
-        dtype = jnp.dtype(dtype)
-        active = (levels == lvl) & valid
-        df = jax.vmap(
-            lambda di, bi, ai: roi_align_level_bwd_pallas(
-                di, bi, ai, h, w, c, pool_size, interpret=interpret
-            )
-        )(dout, boxes, active)
-        dfeats.append(df.astype(dtype))
+    dfeats = _pyramid_bwd_impl(
+        dout, boxes, pool_size, image_shape, denominator, interpret, shapes_dtypes
+    )
     # boxes get no gradient (reference stop_gradient, mrcnn_layers.py:617-641)
     return dfeats, jnp.zeros_like(boxes)
 
@@ -463,12 +523,8 @@ def pyramid_roi_align_pallas(
     denominator: float = 244.0,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Full pyramid ROIAlign via the per-level Pallas kernel (sum of levels).
-
-    Differentiable: a custom VJP routes the feature cotangent through the
-    serial scatter kernel (``_bwd_kernel``); boxes receive zero gradient,
-    matching the reference's stop_gradient on crop boxes.
-    """
+    """Full pyramid ROIAlign in one multi-level Pallas kernel (see module
+    docstring). Differentiable via the custom-VJP scatter kernel."""
     return _pyramid_roi_align_pallas(
         list(features),
         boxes,
