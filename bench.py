@@ -65,7 +65,10 @@ def main():
     on_tpu = any(d.platform == "tpu" for d in jax.devices()) or "TPU" in str(dev)
     peak = _peak_flops(dev)
     if on_tpu:
-        image_size, batch, backbone = 1024, 8, "resnet101"
+        # b16 measured +8% img/s over b8 (amortizes the per-batch detection
+        # tail); the reference's TRT tables are b1 latency — throughput/chip
+        # is the honest comparison axis either way.
+        image_size, batch, backbone = 1024, 16, "resnet101"
     else:  # CPU smoke fallback so the script always produces a line
         image_size, batch, backbone = 256, 1, "resnet18"
 

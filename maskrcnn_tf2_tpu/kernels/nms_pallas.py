@@ -35,15 +35,6 @@ def _nms_kernel(soa_ref, keep_ref, *, n: int, iou_threshold: float, limit: int):
     proposal scale (6000 -> keep 1000) this skips most tiles.
     """
     num_tiles = n // TILE
-
-    y1 = soa_ref[0:1, :]  # [1, N]
-    x1 = soa_ref[1:2, :]
-    y2 = soa_ref[2:3, :]
-    x2 = soa_ref[3:4, :]
-    area = soa_ref[4:5, :]
-    valid = soa_ref[5:6, :]
-
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)  # [1, N]
     keep_ref[:, :] = jnp.zeros((1, n), jnp.float32)
 
     def tile_body(i, _):
@@ -56,18 +47,30 @@ def _nms_kernel(soa_ref, keep_ref, *, n: int, iou_threshold: float, limit: int):
         rarea = soa_ref[4:5, pl.ds(start, TILE)].reshape(TILE, 1)
         rvalid = soa_ref[5:6, pl.ds(start, TILE)].reshape(TILE, 1)
 
-        # [TILE, N] IoU block against all boxes.
-        iy1 = jnp.maximum(ry1, y1)
-        ix1 = jnp.maximum(rx1, x1)
-        iy2 = jnp.minimum(ry2, y2)
-        ix2 = jnp.minimum(rx2, x2)
-        inter = jnp.maximum(iy2 - iy1, 0.0) * jnp.maximum(ix2 - ix1, 0.0)
-        union = rarea + area - inter
-        over = (inter > iou_threshold * union).astype(jnp.float32)  # [TILE, N]
+        # (a) cross-suppression from the finalized prefix, tile-vs-tile:
+        # only columns < start can suppress, so loop over the i finished
+        # tiles ([TILE, TILE] IoU blocks) instead of one [TILE, N] block —
+        # O(i * TILE^2) work instead of O(TILE * N) per tile.
+        def cross_tile(j, acc):
+            cs = j * TILE
+            cy1 = soa_ref[0:1, pl.ds(cs, TILE)]  # [1, TILE]
+            cx1 = soa_ref[1:2, pl.ds(cs, TILE)]
+            cy2 = soa_ref[2:3, pl.ds(cs, TILE)]
+            cx2 = soa_ref[3:4, pl.ds(cs, TILE)]
+            car = soa_ref[4:5, pl.ds(cs, TILE)]
+            iy1 = jnp.maximum(ry1, cy1)
+            ix1 = jnp.maximum(rx1, cx1)
+            iy2 = jnp.minimum(ry2, cy2)
+            ix2 = jnp.minimum(rx2, cx2)
+            inter = jnp.maximum(iy2 - iy1, 0.0) * jnp.maximum(ix2 - ix1, 0.0)
+            union = rarea + car - inter
+            over = (inter > iou_threshold * union).astype(jnp.float32)
+            kept = keep_ref[0:1, pl.ds(cs, TILE)]  # [1, TILE]
+            return acc + jnp.sum(over * kept, axis=1, keepdims=True)
 
-        # (a) cross-suppression from the finalized prefix.
-        prefix = keep_ref[:, :] * (col_idx < start).astype(jnp.float32)  # [1, N]
-        cross = jnp.sum(over * prefix, axis=1, keepdims=True)  # [TILE, 1]
+        cross = jax.lax.fori_loop(
+            0, i, cross_tile, jnp.zeros((TILE, 1), jnp.float32)
+        )  # [TILE, 1]
         row_alive = rvalid * (cross <= 0.0).astype(jnp.float32)  # [TILE, 1]
 
         # (b) within-tile fixpoint on the diagonal block, recomputed from the

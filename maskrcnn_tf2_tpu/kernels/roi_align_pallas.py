@@ -95,8 +95,6 @@ def _pyramid_geometry(boxes, valid, levels, level_hw, p, patch_y, patch_x):
             0.0,
             1.0 - jnp.abs(rel_x[:, :, None] - jnp.arange(patch_x, dtype=jnp.float32)),
         )
-        row0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, max(h - 2, 0))  # [N, P]
-        tmat = ys - row0.astype(jnp.float32)
         wmat = jnp.maximum(
             0.0, 1.0 - jnp.abs(xs[:, :, None] - jnp.arange(w_max, dtype=jnp.float32))
         )
@@ -107,8 +105,6 @@ def _pyramid_geometry(boxes, valid, levels, level_hw, p, patch_y, patch_x):
             ("y_start", y_start),
             ("x_start", x_start),
             ("fits", fits),
-            ("row0", row0),
-            ("tmat", tmat),
             ("ymat", ymat),
             ("xmat", xmat),
             ("wmat", wmat),
@@ -121,12 +117,22 @@ def _pyramid_geometry(boxes, valid, levels, level_hw, p, patch_y, patch_x):
                 outs[key] = jnp.where(m, val, prev)
 
     mode = jnp.where(valid, jnp.where(outs["fits"], 1, 2), 0).astype(jnp.int32)
+    # strip rows are derived IN-KERNEL from two normalized scalars per ROI
+    # (ys_r = (y1 + (y2-y1) * r/(P-1)) * (H_l-1), the oracle's exact op
+    # order): shipping [N, P] row origins + fractions through SMEM scalar
+    # prefetch exceeds the 1 MB SMEM budget at batch 16 (~440 KB each).
+    if p > 1:
+        y1f = y1
+        dy = y2 - y1
+    else:
+        y1f = 0.5 * (y1 + y2)
+        dy = jnp.zeros_like(y1f)
     return (
         outs["y_start"],
         outs["x_start"],
-        outs["row0"],
+        y1f,
         mode,
-        outs["tmat"],
+        dy,
         outs["ymat"],
         outs["xmat"],
         outs["wmat"],
@@ -140,9 +146,9 @@ def _fwd_kernel(
     level_ref,  # [B*G] int32 assigned level
     y_start_ref,  # [B*G] int32 patch-mode row origin
     x_start_ref,  # [B*G] int32 patch-mode col origin (8-aligned)
-    row0_ref,  # [B*G*P] int32 strip-mode row-pair origins
+    y1f_ref,  # [B*G] f32 strip-mode first sample row (level scale)
     mode_ref,  # [B*G] int32: 0 inactive, 1 patch, 2 strips
-    tmat_ref,  # [B*G*P] f32 strip within-pair fraction
+    dy_ref,  # [B*G] f32 strip-mode row span (ys_r = y1f + dy * r/(P-1))
     # tensor inputs / output / scratch (see unpacking below)
     *refs,
     patch_y: int,
@@ -162,6 +168,16 @@ def _fwd_kernel(
     step = b * n_rois + g
     slot = jax.lax.rem(step, 2)
 
+    def strip_row(st, r, h):
+        """(row0, t) scalars for pooled row r, recomputed from the ROI's
+        normalized (y1, y2-y1) — same op order as the host/oracle geometry
+        so results are bit-identical."""
+        frac = (r / (pool - 1)) if pool > 1 else 0.0
+        ys_r = (y1f_ref[st] + dy_ref[st] * frac) * float(h - 1)
+        ys_r = jnp.clip(ys_r, 0.0, float(h - 1))
+        row0 = jnp.clip(jnp.floor(ys_r).astype(jnp.int32), 0, max(h - 2, 0))
+        return row0, ys_r - row0.astype(jnp.float32)
+
     def patch_dma(bb, st, slot_i, lvl):
         h, w = level_hw[lvl]
         py, px = min(patch_y, h), min(patch_x, w)
@@ -177,9 +193,10 @@ def _fwd_kernel(
         )
 
     def strip_dma(bb, st, row, slot_i, lvl):
-        w = level_hw[lvl][1]
+        h, w = level_hw[lvl]
+        row0, _ = strip_row(st, row, h)
         return pltpu.make_async_copy(
-            feats[lvl].at[bb, pl.ds(row0_ref[st * pool + row], 2), :, :],
+            feats[lvl].at[bb, pl.ds(row0, 2), :, :],
             strips.at[slot_i, row, :, pl.ds(0, w), :],
             ssem.at[slot_i, row],
         )
@@ -244,7 +261,7 @@ def _fwd_kernel(
             wm = wmat_ref[0, 0, :, pl.ds(0, w)]  # [P(q), W_l]
             for r in range(pool):
                 strip_dma(b, step, r, slot, lvl).wait()
-                t = tmat_ref[step * pool + r]
+                _, t = strip_row(step, r, h)
                 f = strips[slot, r, :, pl.ds(0, w), :].astype(jnp.float32)
                 row = f[0] * (1.0 - t) + f[1] * t  # [W_l, C]
                 o = jax.lax.dot_general(
@@ -259,9 +276,9 @@ def _bwd_kernel(
     level_ref,  # [B*G]
     y_start_ref,  # [B*G]
     x_start_ref,  # [B*G]
-    row0_ref,  # [B*G*P]
+    y1f_ref,  # [B*G] f32
     mode_ref,  # [B*G]
-    tmat_ref,  # [B*G*P] f32
+    dy_ref,  # [B*G] f32
     # tensor inputs / outputs / scratch (see unpacking below)
     *refs,
     patch_y: int,
@@ -282,6 +299,13 @@ def _bwd_kernel(
     step = b * pl.num_programs(1) + g
     dout = dout_ref[0, 0].astype(jnp.float32)  # [P, P, C]
     c = dout.shape[-1]
+
+    def strip_row(st, r, h):
+        frac = (r / (pool - 1)) if pool > 1 else 0.0
+        ys_r = (y1f_ref[st] + dy_ref[st] * frac) * float(h - 1)
+        ys_r = jnp.clip(ys_r, 0.0, float(h - 1))
+        row0 = jnp.clip(jnp.floor(ys_r).astype(jnp.int32), 0, max(h - 2, 0))
+        return row0, ys_r - row0.astype(jnp.float32)
 
     for lvl in range(n_levels):
         h, w = level_hw[lvl]
@@ -326,13 +350,13 @@ def _bwd_kernel(
         def _():
             wm = wmat_ref[0, 0, :, pl.ds(0, w)]  # [P(q), W_l]
             for r in range(pool):
-                t = tmat_ref[step * pool + r]
+                row0, t = strip_row(step, r, h)
                 # drow[x, c] = sum_q wm[q, x] * dout[r, q, c]
                 drow = jax.lax.dot_general(
                     wm, dout[r], (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # [W_l, C]
-                pair = dfeats[lvl].at[b, pl.ds(row0_ref[step * pool + r], 2), :, :]
+                pair = dfeats[lvl].at[b, pl.ds(row0, 2), :, :]
                 sv = spair.at[:, pl.ds(0, w), :]
                 read = pltpu.make_async_copy(pair, sv, ssem)
                 read.start()
@@ -370,7 +394,7 @@ def _pyramid_fwd_impl(features, boxes, pool_size, image_shape, denominator, inte
     levels, geo, patch_y, patch_x = _batched_geometry(
         boxes, pool_size, image_shape, denominator, level_hw
     )
-    y_start, x_start, row0, mode, tmat, ymat, xmat, wmat = geo
+    y_start, x_start, y1f, mode, dy, ymat, xmat, wmat = geo
 
     return pl.pallas_call(
         functools.partial(
@@ -408,9 +432,9 @@ def _pyramid_fwd_impl(features, boxes, pool_size, image_shape, denominator, inte
         levels.astype(jnp.int32).reshape(-1),
         y_start.reshape(-1),
         x_start.reshape(-1),
-        row0.reshape(-1),
+        y1f.reshape(-1),
         mode.reshape(-1),
-        tmat.reshape(-1),
+        dy.reshape(-1),
         *features,
         ymat,
         xmat,
@@ -430,7 +454,7 @@ def _pyramid_bwd_impl(
     levels, geo, patch_y, patch_x = _batched_geometry(
         boxes, pool_size, image_shape, denominator, level_hw
     )
-    y_start, x_start, row0, mode, tmat, ymat, xmat, wmat = geo
+    y_start, x_start, y1f, mode, dy, ymat, xmat, wmat = geo
 
     zeros = [jnp.zeros((bsz, h, w, c), jnp.float32) for (h, w) in level_hw]
     out = pl.pallas_call(
@@ -471,9 +495,9 @@ def _pyramid_bwd_impl(
         levels.astype(jnp.int32).reshape(-1),
         y_start.reshape(-1),
         x_start.reshape(-1),
-        row0.reshape(-1),
+        y1f.reshape(-1),
         mode.reshape(-1),
-        tmat.reshape(-1),
+        dy.reshape(-1),
         *zeros,
         dout,
         ymat,
