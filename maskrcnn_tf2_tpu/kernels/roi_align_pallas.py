@@ -50,22 +50,24 @@ PATCH_Y = 32
 PATCH_X = 40  # 32 + 8 slack so the 8-aligned x origin still covers 31 px
 
 
-def _pyramid_geometry(boxes, valid, levels, level_hw, p, patch_y, patch_x):
+def _pyramid_geometry(boxes, valid, levels, level_hw, p, patch_y, patch_x, level_hw_s):
     """Per-ROI DMA geometry at each ROI's assigned level.
 
     boxes: [N, 4] normalized; valid: [N] bool; levels: [N] int32 in
-    [0, L); level_hw: static list of (H_l, W_l). Returns
-    (y_start, x_start, row0, mode, tmat, ymat, xmat, wmat) with the strip
-    width axis padded to max(W_l).
+    [0, L); level_hw: static list of (H_l, W_l) SAMPLING dims;
+    level_hw_s: STORAGE dims (levels smaller than the 8-sublane tile are
+    zero-padded up to 8 — VMEM slices below 8 are not lowerable). Sampling
+    math uses the original dims; window clamps use the storage dims.
     """
     boxes = boxes.astype(jnp.float32)
-    w_max = max(w for _, w in level_hw)
+    w_max = max(w for _, w in level_hw_s)
     y1, x1, y2, x2 = (boxes[:, i] for i in range(4))
 
     outs = {}
     for lvl, (h, w) in enumerate(level_hw):
-        py = min(patch_y, h)
-        px = min(patch_x, w)
+        h_s, w_s = level_hw_s[lvl]
+        py = min(patch_y, h_s)
+        px = min(patch_x, w_s)
         if p > 1:
             frac = jnp.arange(p, dtype=jnp.float32) / (p - 1)
             ys = (y1[:, None] + (y2 - y1)[:, None] * frac) * (h - 1)  # [N, P]
@@ -76,8 +78,8 @@ def _pyramid_geometry(boxes, valid, levels, level_hw, p, patch_y, patch_x):
         ys = jnp.clip(ys, 0.0, float(h - 1))
         xs = jnp.clip(xs, 0.0, float(w - 1))
 
-        y_start = jnp.clip(jnp.floor(ys[:, 0]).astype(jnp.int32), 0, max(h - py, 0))
-        x_start = jnp.clip(jnp.floor(xs[:, 0]).astype(jnp.int32), 0, max(w - px, 0))
+        y_start = jnp.clip(jnp.floor(ys[:, 0]).astype(jnp.int32), 0, max(h_s - py, 0))
+        x_start = jnp.clip(jnp.floor(xs[:, 0]).astype(jnp.int32), 0, max(w_s - px, 0))
         x_start = (x_start // 8) * 8  # align to the (8, 128) feature tiling
         rel_y = ys - y_start[:, None].astype(jnp.float32)
         rel_x = xs - x_start[:, None].astype(jnp.float32)
@@ -156,7 +158,8 @@ def _fwd_kernel(
     pool: int,
     n_rois: int,
     batch: int,
-    level_hw: tuple,
+    level_hw: tuple,  # storage dims (padded to >= 8) — DMA extents
+    level_h_orig: tuple,  # original level heights — strip sampling scale
 ):
     n_levels = len(level_hw)
     feats = refs[:n_levels]
@@ -193,8 +196,8 @@ def _fwd_kernel(
         )
 
     def strip_dma(bb, st, row, slot_i, lvl):
-        h, w = level_hw[lvl]
-        row0, _ = strip_row(st, row, h)
+        w = level_hw[lvl][1]
+        row0, _ = strip_row(st, row, level_h_orig[lvl])
         return pltpu.make_async_copy(
             feats[lvl].at[bb, pl.ds(row0, 2), :, :],
             strips.at[slot_i, row, :, pl.ds(0, w), :],
@@ -232,6 +235,7 @@ def _fwd_kernel(
 
     for lvl in range(n_levels):
         h, w = level_hw[lvl]
+        h_o = level_h_orig[lvl]
         py, px = min(patch_y, h), min(patch_x, w)
         on_lvl = level_ref[step] == lvl
 
@@ -261,7 +265,7 @@ def _fwd_kernel(
             wm = wmat_ref[0, 0, :, pl.ds(0, w)]  # [P(q), W_l]
             for r in range(pool):
                 strip_dma(b, step, r, slot, lvl).wait()
-                _, t = strip_row(step, r, h)
+                _, t = strip_row(step, r, h_o)
                 f = strips[slot, r, :, pl.ds(0, w), :].astype(jnp.float32)
                 row = f[0] * (1.0 - t) + f[1] * t  # [W_l, C]
                 o = jax.lax.dot_general(
@@ -284,7 +288,8 @@ def _bwd_kernel(
     patch_y: int,
     patch_x: int,
     pool: int,
-    level_hw: tuple,
+    level_hw: tuple,  # storage dims (padded to >= 8)
+    level_h_orig: tuple,
 ):
     """Transpose of the forward kernel: serial RMW scatter-accumulate each
     ROI's pooled cotangent into its level's (zero-initialized, aliased)
@@ -309,6 +314,7 @@ def _bwd_kernel(
 
     for lvl in range(n_levels):
         h, w = level_hw[lvl]
+        h_o = level_h_orig[lvl]
         py, px = min(patch_y, h), min(patch_x, w)
         on_lvl = level_ref[step] == lvl
 
@@ -350,7 +356,7 @@ def _bwd_kernel(
         def _():
             wm = wmat_ref[0, 0, :, pl.ds(0, w)]  # [P(q), W_l]
             for r in range(pool):
-                row0, t = strip_row(step, r, h)
+                row0, t = strip_row(step, r, h_o)
                 # drow[x, c] = sum_q wm[q, x] * dout[r, q, c]
                 drow = jax.lax.dot_general(
                     wm, dout[r], (((0,), (0,)), ((), ())),
@@ -368,18 +374,24 @@ def _bwd_kernel(
                 write.wait()
 
 
+def _storage_hw(level_hw):
+    """Levels below the 8-sublane VMEM tile are zero-padded up to 8."""
+    return tuple((max(h, 8), max(w, 8)) for h, w in level_hw)
+
+
 def _batched_geometry(boxes, pool_size, image_shape, denominator, level_hw):
     from maskrcnn_tf2_tpu.ops.roi_align import roi_level_assignment
 
+    level_hw_s = _storage_hw(level_hw)
     boxes = jax.lax.stop_gradient(boxes).astype(jnp.float32)
     image_area = float(image_shape[0]) * float(image_shape[1])
     levels = roi_level_assignment(boxes, image_area, len(level_hw), denominator)
     valid = (boxes[..., 2] > boxes[..., 0]) & (boxes[..., 3] > boxes[..., 1])
-    patch_y = min(PATCH_Y, max(h for h, _ in level_hw))
-    patch_x = min(PATCH_X, max(w for _, w in level_hw))
+    patch_y = min(PATCH_Y, max(h for h, _ in level_hw_s))
+    patch_x = min(PATCH_X, max(w for _, w in level_hw_s))
     geo = jax.vmap(
         lambda bx, vl, lv: _pyramid_geometry(
-            bx, vl, lv, level_hw, pool_size, patch_y, patch_x
+            bx, vl, lv, level_hw, pool_size, patch_y, patch_x, level_hw_s
         )
     )(boxes, valid, levels)
     return levels, geo, patch_y, patch_x
@@ -387,10 +399,17 @@ def _batched_geometry(boxes, pool_size, image_shape, denominator, level_hw):
 
 def _pyramid_fwd_impl(features, boxes, pool_size, image_shape, denominator, interpret):
     level_hw = tuple((f.shape[1], f.shape[2]) for f in features)
+    level_hw_s = _storage_hw(level_hw)
+    if level_hw_s != level_hw:
+        features = [
+            jnp.pad(f, ((0, 0), (0, hs - h), (0, ws - w), (0, 0)))
+            if (hs, ws) != (h, w) else f
+            for f, (h, w), (hs, ws) in zip(features, level_hw, level_hw_s)
+        ]
     bsz, g = boxes.shape[0], boxes.shape[1]
     p = pool_size
     c = features[0].shape[-1]
-    w_max = max(w for _, w in level_hw)
+    w_max = max(w for _, w in level_hw_s)
     levels, geo, patch_y, patch_x = _batched_geometry(
         boxes, pool_size, image_shape, denominator, level_hw
     )
@@ -404,12 +423,13 @@ def _pyramid_fwd_impl(features, boxes, pool_size, image_shape, denominator, inte
             pool=p,
             n_rois=g,
             batch=bsz,
-            level_hw=level_hw,
+            level_hw=level_hw_s,
+            level_h_orig=tuple(h for h, _ in level_hw),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,
             grid=(bsz, g),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(level_hw)
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(level_hw)
             + [
                 pl.BlockSpec((1, 1, p, patch_y), lambda b, i, *_: (b, i, 0, 0)),
                 pl.BlockSpec((1, 1, p, patch_x), lambda b, i, *_: (b, i, 0, 0)),
@@ -446,36 +466,38 @@ def _pyramid_bwd_impl(
     dout, boxes, pool_size, image_shape, denominator, interpret, shapes_dtypes
 ):
     level_hw = tuple((s[1], s[2]) for s, _ in shapes_dtypes)
+    level_hw_s = _storage_hw(level_hw)
     bsz, g = boxes.shape[0], boxes.shape[1]
     p = pool_size
     c = shapes_dtypes[0][0][-1]
-    w_max = max(w for _, w in level_hw)
+    w_max = max(w for _, w in level_hw_s)
     n_levels = len(level_hw)
     levels, geo, patch_y, patch_x = _batched_geometry(
         boxes, pool_size, image_shape, denominator, level_hw
     )
     y_start, x_start, y1f, mode, dy, ymat, xmat, wmat = geo
 
-    zeros = [jnp.zeros((bsz, h, w, c), jnp.float32) for (h, w) in level_hw]
+    zeros = [jnp.zeros((bsz, h, w, c), jnp.float32) for (h, w) in level_hw_s]
     out = pl.pallas_call(
         functools.partial(
             _bwd_kernel,
             patch_y=patch_y,
             patch_x=patch_x,
             pool=p,
-            level_hw=level_hw,
+            level_hw=level_hw_s,
+            level_h_orig=tuple(h for h, _ in level_hw),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,
             grid=(bsz, g),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_levels
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_levels
             + [
                 pl.BlockSpec((1, 1, p, p, c), lambda b, i, *_: (b, i, 0, 0, 0)),
                 pl.BlockSpec((1, 1, p, patch_y), lambda b, i, *_: (b, i, 0, 0)),
                 pl.BlockSpec((1, 1, p, patch_x), lambda b, i, *_: (b, i, 0, 0)),
                 pl.BlockSpec((1, 1, p, w_max), lambda b, i, *_: (b, i, 0, 0)),
             ],
-            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_levels,
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_levels,
             scratch_shapes=[
                 pltpu.VMEM((patch_y, patch_x, c), jnp.float32),
                 pltpu.VMEM((2, w_max, c), jnp.float32),
@@ -484,7 +506,7 @@ def _pyramid_bwd_impl(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, h, w, c), jnp.float32) for (h, w) in level_hw
+            jax.ShapeDtypeStruct((bsz, h, w, c), jnp.float32) for (h, w) in level_hw_s
         ],
         # inputs 6..6+L-1 are the zero-initialized dfeats buffers (after the
         # 6 scalar-prefetch operands), aliased to outputs 0..L-1
@@ -504,7 +526,10 @@ def _pyramid_bwd_impl(
         xmat,
         wmat,
     )
-    return [df.astype(jnp.dtype(dt)) for df, (_, dt) in zip(out, shapes_dtypes)]
+    return [
+        df[:, :h, :w, :].astype(jnp.dtype(dt))
+        for df, ((_, h, w, _c), dt) in zip(out, shapes_dtypes)
+    ]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))

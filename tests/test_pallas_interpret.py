@@ -160,6 +160,46 @@ def test_roi_align_kernel_vjp_matches_gather_gradient():
             )
 
 
+def test_roi_align_kernel_tiny_levels_padded_for_vmem_tiling():
+    """A 128px-image pyramid ends in a 4x4 level — below the 8-sublane VMEM
+    tile. The kernel zero-pads such levels for storage while sampling with
+    the original dims; fwd and VJP must still match the gather oracle."""
+    import jax
+
+    rs = np.random.RandomState(6)
+    feats = [
+        jnp.asarray(rs.randn(2, s, s, 8).astype(np.float32))
+        for s in (32, 16, 8, 4)
+    ]
+    boxes = np.zeros((2, 6, 4), np.float32)
+    # spread across levels incl. a full-frame box that lands on the 4x4 level
+    boxes[:, 0] = [0.1, 0.1, 0.25, 0.3]
+    boxes[:, 1] = [0.2, 0.2, 0.7, 0.75]
+    boxes[:, 2] = [0.0, 0.0, 1.0, 1.0]
+    boxes[:, 3] = [0.3, 0.1, 0.35, 0.9]  # wide sliver (strip mode)
+    boxes[:, 4] = [0.05, 0.4, 0.95, 0.45]  # tall sliver
+    bx = jnp.asarray(boxes)
+    out_p = np.asarray(
+        pyramid_roi_align_pallas(feats, bx, 7, (128, 128), interpret=True)
+    )
+    out_g = np.asarray(pyramid_roi_align_gather(feats, bx, 7, (128, 128)))
+    np.testing.assert_allclose(out_p, out_g, atol=3e-5)
+
+    cot = jnp.asarray(rs.randn(2, 6, 7, 7, 8).astype(np.float32))
+    gf_p = jax.grad(
+        lambda fs: jnp.sum(
+            pyramid_roi_align_pallas(fs, bx, 7, (128, 128), interpret=True) * cot
+        )
+    )(feats)
+    gf_g = jax.grad(
+        lambda fs: jnp.sum(pyramid_roi_align_gather(fs, bx, 7, (128, 128)) * cot)
+    )(feats)
+    for lvl, (a, o) in enumerate(zip(gf_p, gf_g)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(o), atol=1e-4, err_msg=f"level={lvl}"
+        )
+
+
 def test_roi_align_patch_kernel_zero_for_padding_rois():
     rs = np.random.RandomState(4)
     boxes = np.zeros((2, 8, 4), np.float32)
