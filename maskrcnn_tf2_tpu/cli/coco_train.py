@@ -32,7 +32,10 @@ def build_argparser():
                    help="4-class subset (person/bicycle/car/motorcycle)")
     p.add_argument("--n_train", type=int, default=None)
     p.add_argument("--n_val", type=int, default=None)
-    p.add_argument("--mini_masks", action="store_true")
+    p.add_argument("--no_mini_masks", action="store_true",
+                   help="disable mini-mask targets (reference default is ON)")
+    p.add_argument("--config", default=None,
+                   help="YAML config file; CLI flags override file values")
     p.add_argument("--checkpoints_dir", default="logs")
     p.add_argument("--no_augment", action="store_true")
     p.add_argument(
@@ -58,7 +61,7 @@ def main(argv=None):
     class_names = MINITRAIN_CLASSES if args.minitrain else None
     num_classes = (1 + len(class_names)) if class_names else 81
 
-    cfg = coco_config(
+    overrides = dict(
         backbone=args.backbone,
         epochs=args.epochs,
         batch_size=args.batch_size,
@@ -68,7 +71,7 @@ def main(argv=None):
         image_max_dim=args.img_size,
         learning_rate=args.learning_rate,
         optimizer=args.optimizer,
-        use_mini_masks=args.mini_masks,
+        use_mini_masks=not args.no_mini_masks,
         checkpoints_dir=args.checkpoints_dir,
         backbone_init_weights=args.backbone_init_weights,
         augment_on_device=args.device_augment,
@@ -76,6 +79,12 @@ def main(argv=None):
         augment_photometric=0.2 if args.device_augment else 0.0,
         sample_cache_dir=args.sample_cache,
     )
+    if args.config:
+        from maskrcnn_tf2_tpu.config import MaskRCNNConfig
+
+        cfg = MaskRCNNConfig.from_yaml(args.config, **overrides)
+    else:
+        cfg = coco_config(**overrides)
 
     train_ds = CocoDataset()
     train_ds.load_coco(

@@ -213,6 +213,30 @@ class MaskRCNNConfig:
         blob = json.dumps(self.to_dict(), sort_keys=True, default=str)
         return hashlib.md5(blob.encode()).hexdigest()
 
+    # ---- YAML round-trip (the reference threads a plain dict everywhere;
+    # a file-backed config is the natural upgrade for a typed dataclass) ----
+    def to_yaml(self, path: str) -> None:
+        import yaml
+
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=True)
+
+    @classmethod
+    def from_yaml(cls, path: str, **overrides) -> "MaskRCNNConfig":
+        """Load a config from YAML; unknown keys are rejected loudly (a
+        typo'd knob silently using its default is worse than an error).
+        ``overrides`` (e.g. CLI flags) win over file values."""
+        import yaml
+
+        with open(path) as f:
+            d = yaml.safe_load(f) or {}
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(d) - known
+        if unknown:
+            raise ValueError(f"unknown config keys in {path}: {sorted(unknown)}")
+        d.update(overrides)
+        return cls(**d)
+
 
 # Named preset mirroring the reference's COCO_CONFIG (samples/coco/coco.py:30-115).
 def coco_config(**overrides) -> MaskRCNNConfig:

@@ -127,3 +127,24 @@ def test_l2_reg_bn_detection_is_precise():
     )
     assert by_name == 1.0  # conv kernel mean(1) only
     assert precise == 2.0  # + fbn_dense kernel
+
+
+def test_config_yaml_round_trip(tmp_path):
+    """YAML round-trip preserves every knob; unknown keys fail loudly."""
+    from maskrcnn_tf2_tpu.config import MaskRCNNConfig
+
+    cfg = MaskRCNNConfig(num_classes=7, backbone="resnet34", batch_size=4)
+    path = str(tmp_path / "cfg.yaml")
+    cfg.to_yaml(path)
+    back = MaskRCNNConfig.from_yaml(path)
+    assert back == cfg
+    # CLI-style overrides win over the file
+    over = MaskRCNNConfig.from_yaml(path, batch_size=16)
+    assert over.batch_size == 16 and over.backbone == "resnet34"
+    bad = str(tmp_path / "bad.yaml")
+    with open(bad, "w") as f:
+        f.write("nonexistent_knob: 3\n")
+    import pytest
+
+    with pytest.raises(ValueError):
+        MaskRCNNConfig.from_yaml(bad)
