@@ -56,29 +56,58 @@ def build_argparser():
     return p
 
 
+def _explicit_flags(argv):
+    """Dests the user actually typed (re-parse with every default suppressed
+    — argparse leaves un-provided dests out of the namespace entirely)."""
+    p = build_argparser()
+    for a in p._actions:
+        if a.dest != "help":
+            a.default = argparse.SUPPRESS
+    return set(vars(p.parse_args(argv)))
+
+
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     class_names = MINITRAIN_CLASSES if args.minitrain else None
     num_classes = (1 + len(class_names)) if class_names else 81
 
-    overrides = dict(
-        backbone=args.backbone,
-        epochs=args.epochs,
-        batch_size=args.batch_size,
-        num_classes=num_classes,
-        image_shape=(args.img_size, args.img_size, 3),
-        image_min_dim=args.img_size,
-        image_max_dim=args.img_size,
-        learning_rate=args.learning_rate,
-        optimizer=args.optimizer,
-        use_mini_masks=not args.no_mini_masks,
-        checkpoints_dir=args.checkpoints_dir,
-        backbone_init_weights=args.backbone_init_weights,
-        augment_on_device=args.device_augment,
-        augment_scale_jitter=0.25 if args.device_augment else 0.0,
-        augment_photometric=0.2 if args.device_augment else 0.0,
-        sample_cache_dir=args.sample_cache,
+    # With --config, only flags the user explicitly typed override the YAML
+    # ("CLI flags override file values" — argparse defaults must not clobber
+    # file values the user never asked to change). Without --config, every
+    # flag (default or not) feeds coco_config as before.
+    provided = _explicit_flags(argv) if args.config else None
+    overrides = {}
+
+    def put(key, value, *source_flags):
+        if provided is None or any(f in provided for f in source_flags):
+            overrides[key] = value
+
+    put("backbone", args.backbone, "backbone")
+    put("epochs", args.epochs, "epochs")
+    put("batch_size", args.batch_size, "batch_size")
+    put("num_classes", num_classes, "minitrain")
+    put("image_shape", (args.img_size, args.img_size, 3), "img_size")
+    put("image_min_dim", args.img_size, "img_size")
+    put("image_max_dim", args.img_size, "img_size")
+    put("learning_rate", args.learning_rate, "learning_rate")
+    put("optimizer", args.optimizer, "optimizer")
+    put("use_mini_masks", not args.no_mini_masks, "no_mini_masks")
+    put("checkpoints_dir", args.checkpoints_dir, "checkpoints_dir")
+    put(
+        "backbone_init_weights", args.backbone_init_weights,
+        "backbone_init_weights",
     )
+    put("augment_on_device", args.device_augment, "device_augment")
+    put(
+        "augment_scale_jitter", 0.25 if args.device_augment else 0.0,
+        "device_augment",
+    )
+    put(
+        "augment_photometric", 0.2 if args.device_augment else 0.0,
+        "device_augment",
+    )
+    put("sample_cache_dir", args.sample_cache, "sample_cache")
+
     if args.config:
         from maskrcnn_tf2_tpu.config import MaskRCNNConfig
 

@@ -55,6 +55,7 @@ class DataLoader:
         self.batch_size = config.batch_size // process_count
         self.process_index = process_index
         self.process_count = process_count
+        self._cache_tag: Optional[str] = None
 
     @property
     def steps_per_epoch(self) -> int:
@@ -71,8 +72,25 @@ class DataLoader:
             # device-side augmentations (ops/augment.py) compose fine.
             import os
 
-            os.makedirs(cache_dir, exist_ok=True)
-            path = os.path.join(cache_dir, f"{idx}.npz")
+            # Fingerprint the cache by config + dataset so reusing a cache
+            # dir after changing image size / mini-mask settings / dataset
+            # invalidates instead of silently returning stale samples.
+            if self._cache_tag is None:
+                import hashlib
+
+                c = self.config
+                key = repr(  # every knob load_image_gt consumes
+                    (
+                        c.image_shape, c.image_min_dim, c.image_max_dim,
+                        c.image_min_scale, c.image_resize_mode,
+                        c.max_gt_instances, c.use_mini_masks,
+                        c.mini_mask_shape, c.num_classes, len(self.dataset),
+                    )
+                )
+                self._cache_tag = hashlib.md5(key.encode()).hexdigest()[:12]
+            tag_dir = os.path.join(cache_dir, self._cache_tag)
+            os.makedirs(tag_dir, exist_ok=True)
+            path = os.path.join(tag_dir, f"{idx}.npz")
             if os.path.exists(path):
                 with np.load(path) as z:
                     if "empty" in z.files:
@@ -88,10 +106,21 @@ class DataLoader:
             return sample
         return load_image_gt(self.dataset, self.config, idx, self.augment_fn)
 
-    def epoch(self, num_workers: int = 4) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(
+        self, num_workers: int = 4, fixed_steps: Optional[int] = None
+    ) -> Iterator[Dict[str, np.ndarray]]:
         """One epoch of batches. Decode/resize runs in a small thread pool
         (cv2 releases the GIL) — the replacement for the reference's
-        multiprocessing worker queue (training.py:46-79)."""
+        multiprocessing worker queue (training.py:46-79).
+
+        ``fixed_steps``: yield EXACTLY that many batches, cycling this host's
+        shard if needed. Multi-host training requires it: train/eval steps
+        are cross-process collectives, so every host must run the same number
+        of steps per epoch — but instance-less skips and the ragged tail
+        differ per host shard. All hosts pass the same deterministic count
+        (``steps_per_epoch``, a function of global dataset length only) and
+        cycle to meet it, instead of deadlocking at the epoch boundary.
+        """
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
@@ -103,10 +132,19 @@ class DataLoader:
 
             order = host_shard(order, self.process_index, self.process_count)
         buf = []
+        yielded = 0
+        since_yield = 0  # samples consumed since the last completed batch
         window = max(2 * num_workers, self.batch_size)
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
             pending: deque = deque()
-            it = iter(order)
+
+            def index_stream():
+                while True:
+                    yield from order
+                    if fixed_steps is None:
+                        return  # one measured pass
+
+            it = index_stream()
 
             def top_up():
                 while len(pending) < window:
@@ -116,15 +154,26 @@ class DataLoader:
                     pending.append(pool.submit(self._sample, int(nxt)))
 
             top_up()
-            while pending:
+            while pending and (fixed_steps is None or yielded < fixed_steps):
                 sample = pending.popleft().result()
                 top_up()
+                since_yield += 1
+                if fixed_steps is not None and since_yield > 2 * max(
+                    len(order), 1
+                ) + self.batch_size:
+                    raise RuntimeError(
+                        f"host shard {self.process_index}/{self.process_count} "
+                        f"has too few usable samples to fill a batch of "
+                        f"{self.batch_size} (cycled twice without completing one)"
+                    )
                 if sample is None:
                     continue
                 buf.append(sample)
                 if len(buf) == self.batch_size:
                     yield self._collate(buf)
                     buf = []
+                    yielded += 1
+                    since_yield = 0
 
     def __iter__(self):
         """Endless stream (reference wraps the generator in .repeat())."""

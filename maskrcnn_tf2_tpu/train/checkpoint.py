@@ -68,13 +68,19 @@ def restore(
         return state, 0, None
     template = dict(state._asdict())
     if extra_template:
-        template["extra"] = {k: float(v) for k, v in extra_template.items()}
-        try:
-            restored = manager.restore(target, args=ocp.args.StandardRestore(template))
+        # Ask the checkpoint whether it carries the extra payload instead of
+        # trying and swallowing exceptions (which would also mask genuine
+        # corruption / shape mismatches as "old checkpoint").
+        saved_keys = set(manager.item_metadata(target).keys())
+        if "extra" in saved_keys:
+            template["extra"] = {
+                k: float(v) for k, v in extra_template.items()
+            }
+            restored = manager.restore(
+                target, args=ocp.args.StandardRestore(template)
+            )
             extra = restored.pop("extra", None)
             return TrainState(**restored), int(target) + 1, extra
-        except Exception:
-            pass  # older checkpoint without the extra payload
     restored = manager.restore(
         target, args=ocp.args.StandardRestore(dict(state._asdict()))
     )

@@ -165,7 +165,19 @@ def train_model(
         # the ragged tail dropped, so the step count is measured, not
         # floor(n/batch) — the reference's endless .repeat() stream lets
         # epoch e consume epoch e+1's images; this does not).
-        epoch_iter = prefetch(train_loader.epoch(), size=config.prefetch_size)
+        # Multi-host: steps are cross-process collectives, so every host MUST
+        # run the same number of them — pin the per-epoch count to the
+        # deterministic global steps_per_epoch and let each host cycle its
+        # shard to fill it (per-host skip/tail differences would otherwise
+        # deadlock the job at the epoch boundary).
+        fixed = (
+            (steps_per_epoch or train_loader.steps_per_epoch)
+            if n_proc > 1
+            else None
+        )
+        epoch_iter = prefetch(
+            train_loader.epoch(fixed_steps=fixed), size=config.prefetch_size
+        )
         for batch_np in epoch_iter:
             if steps_per_epoch and spe >= steps_per_epoch:
                 break
@@ -200,10 +212,17 @@ def train_model(
                 process_index=jax.process_index(),
                 process_count=n_proc,
             )
+            # Same common-step-count rule as the train loop (deterministic
+            # from the global val length, so all hosts agree — including on
+            # skipping validation entirely when the val set is too small).
+            val_fixed = val_loader.steps_per_epoch if n_proc > 1 else None
             val_losses = []
-            for vb in val_loader.epoch():
-                vl = eval_step(state, place(jax.tree.map(jnp.asarray, vb)), rng)
-                val_losses.append({k: float(v) for k, v in vl.items()})
+            if not (n_proc > 1 and val_fixed == 0):
+                for vb in val_loader.epoch(fixed_steps=val_fixed):
+                    vl = eval_step(
+                        state, place(jax.tree.map(jnp.asarray, vb)), rng
+                    )
+                    val_losses.append({k: float(v) for k, v in vl.items()})
             if val_losses:
                 for k in val_losses[0]:
                     metrics[f"val_{k}"] = float(np.mean([v[k] for v in val_losses]))
