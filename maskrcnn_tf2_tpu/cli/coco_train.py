@@ -38,6 +38,13 @@ def build_argparser():
                    help="YAML config file; CLI flags override file values")
     p.add_argument("--checkpoints_dir", default="logs")
     p.add_argument("--no_augment", action="store_true")
+    p.add_argument("--augment_weather", action="store_true",
+                   help="add the weather set (snow/rain/fog/sun flare; "
+                        "reference augmentation.py:30-38)")
+    p.add_argument("--augment_extended", action="store_true",
+                   help="add the extended set (shift-scale/perspective/CLAHE/"
+                        "gamma/sharpen/motion blur/contrast/HSV; "
+                        "reference augmentation.py:41-55)")
     p.add_argument(
         "--weights", default=None, dest="backbone_init_weights",
         help="pretrained backbone: 'imagenet' or a .npz/.pt/.pth path "
@@ -135,7 +142,9 @@ def main(argv=None):
     augment = (
         None
         if (args.no_augment or args.device_augment)
-        else get_training_augmentation()
+        else get_training_augmentation(
+            extended=args.augment_extended, weather=args.augment_weather
+        )
     )
     train_model(cfg, train_ds, val_ds, augment_fn=augment)
 

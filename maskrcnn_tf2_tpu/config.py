@@ -43,7 +43,11 @@ class MaskRCNNConfig:
     # ---- classes ----
     num_classes: int = len(DEFAULT_CLASS_DICT)
 
-    # ---- normalization (reference config.py:29) ----
+    # ---- normalization (reference config.py:29; preprocess.py:495-530) ----
+    # "imagenet": (x/255 - mean) / std. "maxmin": per-image
+    # (x - min) / (max - min) — the reference's normalize=None path
+    # (maxmin_normalize_input, preprocess.py:520-530).
+    normalization: str = "imagenet"  # imagenet | maxmin
     pixel_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     pixel_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 
@@ -157,6 +161,7 @@ class MaskRCNNConfig:
             if isinstance(v, list):
                 object.__setattr__(self, f.name, _tuplify(v))
         assert self.image_resize_mode in ("square", "pad64", "crop", "none")
+        assert self.normalization in ("imagenet", "maxmin")
         assert len(self.rpn_anchor_scales) == len(self.backbone_strides), (
             "one anchor scale per pyramid level"
         )

@@ -73,49 +73,64 @@ def _crowd_adjusted_iou(dt_boxes, gt_boxes, iscrowd, dt_masks=None, gt_masks=Non
     return iou
 
 
-def _argmax_last(values: np.ndarray, mask: np.ndarray) -> int:
-    """Index of the max of values[mask]; ties resolved to the LAST index
-    (COCOeval replaces its best match on >=, so later gts win ties)."""
-    idx = np.flatnonzero(mask)
-    v = values[idx]
-    return int(idx[len(v) - 1 - int(np.argmax(v[::-1]))])
-
-
 def _match_image(iou, dt_out_of_range, gt_ignore, iscrowd):
-    """COCOeval.evaluateImg matching for one (image, class, area range).
+    """COCOeval.evaluateImg matching for ALL (threshold, area range) states
+    of one (image, class) at once.
 
-    iou: [D, G]; returns (dt_matched[T, D], dt_ignored[T, D]).
+    iou: [D, G]; dt_out_of_range: [A, D]; gt_ignore: [A, G]; iscrowd: [G].
+    Returns (dt_matched[A, T, D], dt_ignored[A, T, D]).
+
+    The greedy walk over detections is inherently sequential (each match
+    consumes a gt), but the 10 IoU-threshold x 4 area-range states are
+    independent — they are carried as a vectorized [A, T, G] ``gt_used`` so
+    the python loop runs once per detection, not per (area, threshold,
+    detection). ~5x on the val2017-scale benchmark
+    (scripts/bench_cocoeval.py) with identical semantics (pinned by
+    tests/test_cocoeval_golden.py).
+
+    COCOeval visits gts sorted non-ignored-first; that permutation is a
+    no-op here: candidates are split into the non-ignored and ignored
+    groups explicitly (the reg/ig branches), each group preserves original
+    relative order under the stable sort, and the last-index tie-break is
+    resolved within one group — so matching runs on the unpermuted arrays.
     """
     t = len(IOU_THRESHOLDS)
+    a = gt_ignore.shape[0]
     d, g = iou.shape
-    dt_matched = np.zeros((t, d), bool)
-    dt_ignored = np.zeros((t, d), bool)
+    dt_matched = np.zeros((a, t, d), bool)
+    dt_ignored = np.zeros((a, t, d), bool)
     if d == 0:
         return dt_matched, dt_ignored
     if g == 0:
-        dt_ignored[:] = dt_out_of_range[None, :]
+        dt_ignored[:] = dt_out_of_range[:, None, :]
         return dt_matched, dt_ignored
-    not_ignored = ~gt_ignore
-    for ti, thr in enumerate(IOU_THRESHOLDS):
-        gt_used = np.zeros(g, bool)
-        for di in range(d):
-            avail = ~gt_used | iscrowd
-            cand = (iou[di] >= thr) & avail
-            cand_reg = cand & not_ignored
-            if cand_reg.any():
-                best = _argmax_last(iou[di], cand_reg)
-                dt_matched[ti, di] = True
-                gt_used[best] = True
-                continue
-            cand_ig = cand & gt_ignore
-            if cand_ig.any():
-                # matched to an ignored gt: detection ignored, gt consumed
-                # (COCOeval sets gtm unconditionally).
-                best = _argmax_last(iou[di], cand_ig)
-                dt_ignored[ti, di] = True
-                gt_used[best] = True
-            else:
-                dt_ignored[ti, di] = dt_out_of_range[di]
+    not_ignored = ~gt_ignore[:, None, :]  # [A, 1, G]
+    gt_ig = gt_ignore[:, None, :]
+    thr = IOU_THRESHOLDS[None, :, None]  # [1, T, 1]
+    gt_used = np.zeros((a, t, g), bool)
+    for di in range(d):
+        iou_d = iou[di][None, None, :]  # [1, 1, G]
+        cand = (iou_d >= thr) & (~gt_used | iscrowd[None, None, :])  # [A, T, G]
+        cand_reg = cand & not_ignored
+        any_reg = cand_reg.any(axis=-1)  # [A, T]
+        # last-index argmax per state (COCOeval replaces its best match on
+        # >=, so later gts win ties): argmax on the reversed axis.
+        vals = np.where(cand_reg, iou_d, -np.inf)
+        best_reg = g - 1 - np.argmax(vals[..., ::-1], axis=-1)
+        cand_ig = cand & gt_ig
+        any_ig = cand_ig.any(axis=-1)
+        vals = np.where(cand_ig, iou_d, -np.inf)
+        best_ig = g - 1 - np.argmax(vals[..., ::-1], axis=-1)
+        # matched to an ignored gt: detection ignored, gt consumed
+        # (COCOeval sets gtm unconditionally).
+        use_ig = ~any_reg & any_ig
+        dt_matched[:, :, di] = any_reg
+        dt_ignored[:, :, di] = use_ig | (
+            ~any_reg & ~any_ig & dt_out_of_range[:, None, di]
+        )
+        hit = any_reg | use_ig
+        ai, ti = np.nonzero(hit)
+        gt_used[ai, ti, np.where(any_reg, best_reg, best_ig)[hit]] = True
     return dt_matched, dt_ignored
 
 
@@ -215,23 +230,19 @@ class CocoEvalLite:
                         dt_boxes[:, 3] - dt_boxes[:, 1]
                     )
                 iou = _crowd_adjusted_iou(dt_boxes, gt_boxes, iscrowd, dm, gm)
-                for area in AREA_KEYS:
-                    lo, hi = AREA_RANGES[area]
-                    gt_ignore = iscrowd | (gt_areas < lo) | (gt_areas > hi)
-                    dt_oor = (dt_areas < lo) | (dt_areas > hi)
-                    # visit non-ignored gts first, original order within group
-                    gt_order = np.argsort(gt_ignore, kind="stable")
-                    matched, ignored = _match_image(
-                        iou[:, gt_order],
-                        dt_oor,
-                        gt_ignore[gt_order],
-                        iscrowd[gt_order],
-                    )
+                lo = np.array([AREA_RANGES[k][0] for k in AREA_KEYS])[:, None]
+                hi = np.array([AREA_RANGES[k][1] for k in AREA_KEYS])[:, None]
+                gt_ignore = iscrowd[None, :] | (gt_areas[None, :] < lo) | (
+                    gt_areas[None, :] > hi
+                )  # [A, G]
+                dt_oor = (dt_areas[None, :] < lo) | (dt_areas[None, :] > hi)
+                matched, ignored = _match_image(iou, dt_oor, gt_ignore, iscrowd)
+                for ai, area in enumerate(AREA_KEYS):
                     rec = acc[area][ci]
                     rec["scores"].append(dt_scores)
-                    rec["matched"].append(matched)
-                    rec["ignored"].append(ignored)
-                    rec["n_gt"] += int((~gt_ignore).sum())
+                    rec["matched"].append(matched[ai])
+                    rec["ignored"].append(ignored[ai])
+                    rec["n_gt"] += int((~gt_ignore[ai]).sum())
         self._cache = (classes, acc)
         return self._cache
 
@@ -259,24 +270,27 @@ class CocoEvalLite:
             order = np.argsort(-scores, kind="stable")
             matched = matched[:, order]
             ignored = ignored[:, order]
+            if matched.shape[1] == 0:
+                ap[:, ci] = 0.0
+                recall[:, ci] = 0.0
+                continue
+            # pycocotools accumulate(): cumsum over ALL detections —
+            # ignored ones contribute to neither tp nor fp, leaving
+            # duplicate (rc, pr) points that the left-searchsorted 101-pt
+            # interpolation resolves to the same precision values.
+            tp = np.cumsum(matched & ~ignored, axis=1, dtype=np.float64)
+            fp = np.cumsum(~matched & ~ignored, axis=1, dtype=np.float64)
+            rc = tp / n_gt_total
+            pr = tp / (tp + fp + np.spacing(1))
+            # monotone non-increasing precision envelope
+            pr = np.maximum.accumulate(pr[:, ::-1], axis=1)[:, ::-1]
+            n = pr.shape[1]
             for ti in range(t):
-                keep = ~ignored[ti]
-                tp = np.cumsum(matched[ti][keep])
-                fp = np.cumsum(~matched[ti][keep])
-                rc = tp / n_gt_total
-                pr = tp / (tp + fp + np.spacing(1))
-                # monotone non-increasing precision envelope
-                for i in range(len(pr) - 2, -1, -1):
-                    pr[i] = max(pr[i], pr[i + 1])
-                if len(pr) == 0:
-                    ap[ti, ci] = 0.0
-                    recall[ti, ci] = 0.0
-                    continue
                 # 101-point interpolation
-                idx = np.searchsorted(rc, RECALL_POINTS, side="left")
-                prec_at = np.where(idx < len(pr), pr[np.minimum(idx, len(pr) - 1)], 0.0)
+                idx = np.searchsorted(rc[ti], RECALL_POINTS, side="left")
+                prec_at = np.where(idx < n, pr[ti][np.minimum(idx, n - 1)], 0.0)
                 ap[ti, ci] = prec_at.mean()
-                recall[ti, ci] = rc[-1]
+                recall[ti, ci] = rc[ti, -1]
         return ap, recall
 
     def summarize(self, verbose: bool = True) -> Dict[str, float]:

@@ -10,17 +10,27 @@ kernel per level over all ROIs: 4x the grid steps, 4x the inactive-slot
 zero writes, plus a 4-way output sum; and vmapping over batch wrapped every
 image in a dynamic-update-slice — folding batch into the grid removes both).
 
-Two DMA modes per ROI, selected host-side:
+Per ROI the kernel picks one of several DMA geometries, selected host-side:
 
-* **patch mode** — the ROI's sample grid fits a static
-  ``min(PATCH_Y, H_l) x min(PATCH_X, W_l)`` window (true for the typical
-  ROI: the FPN level formula bounds a box's on-level scale to ~16-32 px):
-  ONE double-buffered DMA of the window, then the separable bilinear
-  contraction (Y @ patch @ X^T) on the MXU.
-* **strip mode** — any other geometry: ``P`` DMAs of ``[2, W_l, C]``
-  full-width row pairs (one per pooled row). Exact for arbitrarily tall
-  boxes (each output row only needs its two neighbor feature rows) and
-  arbitrarily wide boxes (the full row serves any x-span).
+* **tiered patch mode** — the ROI's sample grid fits a static
+  ``py x px`` window from ``TIERS`` (smallest fitting tier wins): ONE DMA
+  of the window, then the separable bilinear contraction (Y @ patch @ X^T)
+  on the MXU. The FPN level formula bounds a typical box's on-level scale
+  to ~10-20 px, so most ROIs take the small tiers — tiering cut the
+  end-to-end DMA volume ~45% vs a single 32x40 window. A window that
+  reaches the level's edge always fits (samples are clipped to the last
+  row/col, so the interpolation weight beyond the window is exactly zero);
+  without this rule every full-level box at P5 fell to strip mode.
+* **strip mode** — any other geometry (extreme aspect ratios wider/taller
+  than the largest tier): ``P`` DMAs of ``[2, W_l, C]`` full-width row
+  pairs (one per pooled row). Exact for arbitrarily tall boxes (each
+  output row only needs its two neighbor feature rows) and arbitrarily
+  wide boxes (the full row serves any x-span).
+
+DMAs run in per-tier ring buffers (depth chosen under a ~12 MB VMEM
+budget, prefetch distance ``depth-1``): with one ROI per grid step the
+per-DMA issue/wait latency is the bottleneck, not bandwidth — 2-deep
+double buffering left the kernel ~2x above its bandwidth floor.
 
 The within-pair fraction ``t`` lives in SMEM scalar prefetch — vector
 reshapes moving it across the lane dim are not lowerable (Mosaic
@@ -46,11 +56,47 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PATCH_Y = 32
-PATCH_X = 40  # 32 + 8 slack so the 8-aligned x origin still covers 31 px
+# Patch window tiers, smallest to largest (y, x). x sizes carry +8 slack so
+# the 8-aligned x origin still covers (px - 8 - 1) sample columns; the
+# largest tier covers every box the FPN level formula maps into ~31 px.
+TIERS = ((16, 24), (24, 32), (32, 40))
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _pyramid_geometry(boxes, valid, levels, level_hw, p, patch_y, patch_x, level_hw_s):
+def _effective_tiers(level_hw_s):
+    """TIERS clamped to the largest level's storage dims, deduplicated."""
+    hmax = max(h for h, _ in level_hw_s)
+    wmax = max(w for _, w in level_hw_s)
+    tiers, seen = [], set()
+    for py, px in TIERS:
+        t = (min(py, hmax), min(px, wmax))
+        if t not in seen:
+            seen.add(t)
+            tiers.append(t)
+    return tuple(tiers)
+
+
+def _ring_depths(tiers, pool, w_max, c, itemsize):
+    """Per-tier DMA ring depths + strip ring depth under the VMEM budget.
+
+    Deeper rings on the small (common) tiers hide per-DMA latency; the
+    strip path is rare and stays at classic double buffering.
+    """
+    strip_depth = 2
+    strip_bytes = strip_depth * pool * 2 * w_max * c * itemsize
+    for cand in ((8, 6, 4), (6, 4, 3), (4, 3, 2), (3, 2, 2), (2, 2, 2)):
+        depths = tuple(cand[: len(tiers)])
+        if len(depths) < len(tiers):
+            depths = depths + (2,) * (len(tiers) - len(depths))
+        tot = strip_bytes + sum(
+            d * py * px * c * itemsize for d, (py, px) in zip(depths, tiers)
+        )
+        if tot <= _VMEM_BUDGET:
+            return depths, strip_depth
+    return (2,) * len(tiers), strip_depth
+
+
+def _pyramid_geometry(boxes, valid, levels, level_hw, p, tiers, level_hw_s):
     """Per-ROI DMA geometry at each ROI's assigned level.
 
     boxes: [N, 4] normalized; valid: [N] bool; levels: [N] int32 in
@@ -58,16 +104,21 @@ def _pyramid_geometry(boxes, valid, levels, level_hw, p, patch_y, patch_x, level
     level_hw_s: STORAGE dims (levels smaller than the 8-sublane tile are
     zero-padded up to 8 — VMEM slices below 8 are not lowerable). Sampling
     math uses the original dims; window clamps use the storage dims.
+
+    Returns per-ROI ``(y_start, x_start, y1f, mode, dy, ymat, xmat, wmat)``
+    where ``mode`` is 0 = inactive, 1..T = patch tier t-1 (smallest fitting
+    window from ``tiers``), T+1 = strip.
     """
     boxes = boxes.astype(jnp.float32)
+    n_tiers = len(tiers)
+    patch_y = max(py for py, _ in tiers)
+    patch_x = max(px for _, px in tiers)
     w_max = max(w for _, w in level_hw_s)
     y1, x1, y2, x2 = (boxes[:, i] for i in range(4))
 
     outs = {}
     for lvl, (h, w) in enumerate(level_hw):
         h_s, w_s = level_hw_s[lvl]
-        py = min(patch_y, h_s)
-        px = min(patch_x, w_s)
         if p > 1:
             frac = jnp.arange(p, dtype=jnp.float32) / (p - 1)
             ys = (y1[:, None] + (y2 - y1)[:, None] * frac) * (h - 1)  # [N, P]
@@ -78,21 +129,36 @@ def _pyramid_geometry(boxes, valid, levels, level_hw, p, patch_y, patch_x, level
         ys = jnp.clip(ys, 0.0, float(h - 1))
         xs = jnp.clip(xs, 0.0, float(w - 1))
 
-        y_start = jnp.clip(jnp.floor(ys[:, 0]).astype(jnp.int32), 0, max(h_s - py, 0))
-        x_start = jnp.clip(jnp.floor(xs[:, 0]).astype(jnp.int32), 0, max(w_s - px, 0))
-        x_start = (x_start // 8) * 8  # align to the (8, 128) feature tiling
+        # Smallest fitting tier per ROI. A window that reaches the level's
+        # sampling edge always fits: clipping bounds the last sample at
+        # exactly (h-1) - y_start <= py - 1, so the interpolation weight
+        # beyond the window is exactly zero (no epsilon needed there).
+        tier_idx = jnp.full(ys.shape[0], n_tiers, jnp.int32)  # T = none/strip
+        y_start = jnp.zeros(ys.shape[0], jnp.int32)
+        x_start = jnp.zeros(ys.shape[0], jnp.int32)
+        for t in reversed(range(n_tiers)):
+            py, px = min(tiers[t][0], h_s), min(tiers[t][1], w_s)
+            y0 = jnp.clip(jnp.floor(ys[:, 0]).astype(jnp.int32), 0, max(h_s - py, 0))
+            x0 = jnp.clip(jnp.floor(xs[:, 0]).astype(jnp.int32), 0, max(w_s - px, 0))
+            x0 = (x0 // 8) * 8  # align to the (8, 128) feature tiling
+            fit_y = (ys[:, -1] - y0.astype(jnp.float32) <= py - 1.0001) | (
+                y0 + py >= h
+            )
+            fit_x = (xs[:, -1] - x0.astype(jnp.float32) <= px - 1.0001) | (
+                x0 + px >= w
+            )
+            fits = fit_y & fit_x
+            tier_idx = jnp.where(fits, t, tier_idx)
+            y_start = jnp.where(fits, y0, y_start)
+            x_start = jnp.where(fits, x0, x_start)
+        mode_lvl = jnp.where(tier_idx < n_tiers, tier_idx + 1, n_tiers + 1)
+
         rel_y = ys - y_start[:, None].astype(jnp.float32)
         rel_x = xs - x_start[:, None].astype(jnp.float32)
-        fits = (
-            (rel_y[:, -1] <= py - 1.0001)
-            & (rel_x[:, -1] <= px - 1.0001)
-            & (rel_y[:, 0] >= 0.0)
-            & (rel_x[:, 0] >= 0.0)
-        )
         ymat = jnp.maximum(
             0.0,
             1.0 - jnp.abs(rel_y[:, :, None] - jnp.arange(patch_y, dtype=jnp.float32)),
-        )  # [N, P, PATCH_Y] (zero weight beyond the level's py window)
+        )  # [N, P, PATCH_Y] (zero weight beyond the chosen tier's window)
         xmat = jnp.maximum(
             0.0,
             1.0 - jnp.abs(rel_x[:, :, None] - jnp.arange(patch_x, dtype=jnp.float32)),
@@ -106,7 +172,7 @@ def _pyramid_geometry(boxes, valid, levels, level_hw, p, patch_y, patch_x, level
         for key, val in (
             ("y_start", y_start),
             ("x_start", x_start),
-            ("fits", fits),
+            ("mode", mode_lvl),
             ("ymat", ymat),
             ("xmat", xmat),
             ("wmat", wmat),
@@ -118,7 +184,7 @@ def _pyramid_geometry(boxes, valid, levels, level_hw, p, patch_y, patch_x, level
                 m = is_l.reshape((-1,) + (1,) * (val.ndim - 1))
                 outs[key] = jnp.where(m, val, prev)
 
-    mode = jnp.where(valid, jnp.where(outs["fits"], 1, 2), 0).astype(jnp.int32)
+    mode = jnp.where(valid, outs["mode"], 0).astype(jnp.int32)
     # strip rows are derived IN-KERNEL from two normalized scalars per ROI
     # (ys_r = (y1 + (y2-y1) * r/(P-1)) * (H_l-1), the oracle's exact op
     # order): shipping [N, P] row origins + fractions through SMEM scalar
@@ -149,12 +215,13 @@ def _fwd_kernel(
     y_start_ref,  # [B*G] int32 patch-mode row origin
     x_start_ref,  # [B*G] int32 patch-mode col origin (8-aligned)
     y1f_ref,  # [B*G] f32 strip-mode first sample row (level scale)
-    mode_ref,  # [B*G] int32: 0 inactive, 1 patch, 2 strips
+    mode_ref,  # [B*G] int32: 0 inactive, 1..T patch tier, T+1 strips
     dy_ref,  # [B*G] f32 strip-mode row span (ys_r = y1f + dy * r/(P-1))
     # tensor inputs / output / scratch (see unpacking below)
     *refs,
-    patch_y: int,
-    patch_x: int,
+    tiers: tuple,
+    depths: tuple,
+    strip_depth: int,
     pool: int,
     n_rois: int,
     batch: int,
@@ -162,14 +229,20 @@ def _fwd_kernel(
     level_h_orig: tuple,  # original level heights — strip sampling scale
 ):
     n_levels = len(level_hw)
+    n_tiers = len(tiers)
+    strip_mode = n_tiers + 1
     feats = refs[:n_levels]
     ymat_ref, xmat_ref, wmat_ref, out_ref = refs[n_levels : n_levels + 4]
-    patch, strips, psem, ssem = refs[n_levels + 4 :]
+    scratch = refs[n_levels + 4 :]
+    patches = scratch[:n_tiers]
+    strips = scratch[n_tiers]
+    psems = scratch[n_tiers + 1 : 2 * n_tiers + 1]
+    ssem = scratch[2 * n_tiers + 1]
 
     b = pl.program_id(0)
     g = pl.program_id(1)
     step = b * n_rois + g
-    slot = jax.lax.rem(step, 2)
+    total = batch * n_rois
 
     def strip_row(st, r, h):
         """(row0, t) scalars for pooled row r, recomputed from the ROI's
@@ -181,9 +254,9 @@ def _fwd_kernel(
         row0 = jnp.clip(jnp.floor(ys_r).astype(jnp.int32), 0, max(h - 2, 0))
         return row0, ys_r - row0.astype(jnp.float32)
 
-    def patch_dma(bb, st, slot_i, lvl):
+    def patch_dma(bb, st, t, slot_i, lvl):
         h, w = level_hw[lvl]
-        py, px = min(patch_y, h), min(patch_x, w)
+        py, px = min(tiers[t][0], h), min(tiers[t][1], w)
         return pltpu.make_async_copy(
             feats[lvl].at[
                 bb,
@@ -191,8 +264,8 @@ def _fwd_kernel(
                 pl.ds(pl.multiple_of(x_start_ref[st], 8), px),
                 :,
             ],
-            patch.at[slot_i, pl.ds(0, py), pl.ds(0, px), :],
-            psem.at[slot_i],
+            patches[t].at[slot_i, pl.ds(0, py), pl.ds(0, px), :],
+            psems[t].at[slot_i],
         )
 
     def strip_dma(bb, st, row, slot_i, lvl):
@@ -204,28 +277,65 @@ def _fwd_kernel(
             ssem.at[slot_i, row],
         )
 
-    def start_dmas(bb, st, slot_i):
-        for lvl in range(n_levels):
-            on_lvl = level_ref[st] == lvl
+    def start_patch(j, bb, t, lvl):
+        patch_dma(bb, j, t, jax.lax.rem(j, depths[t]), lvl).start()
 
-            @pl.when((mode_ref[st] == 1) & on_lvl)
-            def _():
-                patch_dma(bb, st, slot_i, lvl).start()
+    def start_strips(j, bb, lvl):
+        slot_i = jax.lax.rem(j, strip_depth)
+        for r in range(pool):
+            strip_dma(bb, j, r, slot_i, lvl).start()
 
-            @pl.when((mode_ref[st] == 2) & on_lvl)
-            def _():
-                for r in range(pool):
-                    strip_dma(bb, st, r, slot_i, lvl).start()
+    # Warm-up: step 0 starts every DMA whose owning step precedes its ring's
+    # prefetch distance (step j's DMA is otherwise started at step
+    # j - (depth_mode - 1); distance depth-1 keeps the in-flight slot
+    # disjoint from the slot being consumed this step).
+    max_dist = max(max(depths), strip_depth) - 1
 
-    # warm-up: first step starts its own DMAs; every step prefetches the next
     @pl.when(step == 0)
     def _():
-        start_dmas(0, 0, 0)
+        for k in range(min(max_dist, total)):  # static python loop
+            bb_k = k // n_rois
+            for lvl in range(n_levels):
+                on_lvl = level_ref[k] == lvl
+                for t in range(n_tiers):
+                    if k < depths[t] - 1:
 
-    @pl.when(step + 1 < batch * n_rois)
-    def _():
-        nxt = step + 1
-        start_dmas(nxt // n_rois, nxt, jax.lax.rem(nxt, 2))
+                        @pl.when((mode_ref[k] == t + 1) & on_lvl)
+                        def _(k=k, bb_k=bb_k, t=t, lvl=lvl):
+                            start_patch(k, bb_k, t, lvl)
+
+                if k < strip_depth - 1:
+
+                    @pl.when((mode_ref[k] == strip_mode) & on_lvl)
+                    def _(k=k, bb_k=bb_k, lvl=lvl):
+                        start_strips(k, bb_k, lvl)
+
+    # Steady-state prefetch: distance depth-1 per ring (grouped by distance
+    # so each future step index is computed once).
+    dist_groups = {}
+    for t in range(n_tiers):
+        dist_groups.setdefault(depths[t] - 1, []).append(t + 1)
+    dist_groups.setdefault(strip_depth - 1, []).append(strip_mode)
+    for dist, modes in sorted(dist_groups.items()):
+
+        @pl.when(step + dist < total)
+        def _(dist=dist, modes=modes):
+            j = step + dist
+            bb = j // n_rois
+            for lvl in range(n_levels):
+                on_lvl = level_ref[j] == lvl
+                for m in modes:
+                    if m == strip_mode:
+
+                        @pl.when((mode_ref[j] == m) & on_lvl)
+                        def _(j=j, bb=bb, lvl=lvl):
+                            start_strips(j, bb, lvl)
+
+                    else:
+
+                        @pl.when((mode_ref[j] == m) & on_lvl)
+                        def _(j=j, bb=bb, m=m, lvl=lvl):
+                            start_patch(j, bb, m - 1, lvl)
 
     c = out_ref.shape[-1]
 
@@ -236,32 +346,38 @@ def _fwd_kernel(
     for lvl in range(n_levels):
         h, w = level_hw[lvl]
         h_o = level_h_orig[lvl]
-        py, px = min(patch_y, h), min(patch_x, w)
         on_lvl = level_ref[step] == lvl
 
-        @pl.when((mode_ref[step] == 1) & on_lvl)
-        def _():
-            patch_dma(b, step, slot, lvl).wait()
-            f = patch[slot, pl.ds(0, py), pl.ds(0, px), :].astype(jnp.float32)
-            ym = ymat_ref[0, 0, :, pl.ds(0, py)]  # [P, py]
-            xm = xmat_ref[0, 0, :, pl.ds(0, px)]  # [P, px]
-            rows = jax.lax.dot_general(
-                ym,
-                f.reshape(py, px * c),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).reshape(pool, px, c)
-            out = jax.lax.dot_general(
-                xm,
-                rows.transpose(1, 0, 2).reshape(px, pool * c),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [P(q), P(p)*C]
-            out = out.reshape(pool, pool, c).transpose(1, 0, 2)
-            out_ref[0, 0] = out.astype(out_ref.dtype)
+        for t in range(n_tiers):
+            py, px = min(tiers[t][0], h), min(tiers[t][1], w)
 
-        @pl.when((mode_ref[step] == 2) & on_lvl)
-        def _():
+            @pl.when((mode_ref[step] == t + 1) & on_lvl)
+            def _(t=t, py=py, px=px, lvl=lvl):
+                slot = jax.lax.rem(step, depths[t])
+                patch_dma(b, step, t, slot, lvl).wait()
+                f = patches[t][slot, pl.ds(0, py), pl.ds(0, px), :].astype(
+                    jnp.float32
+                )
+                ym = ymat_ref[0, 0, :, pl.ds(0, py)]  # [P, py]
+                xm = xmat_ref[0, 0, :, pl.ds(0, px)]  # [P, px]
+                rows = jax.lax.dot_general(
+                    ym,
+                    f.reshape(py, px * c),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).reshape(pool, px, c)
+                out = jax.lax.dot_general(
+                    xm,
+                    rows.transpose(1, 0, 2).reshape(px, pool * c),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [P(q), P(p)*C]
+                out = out.reshape(pool, pool, c).transpose(1, 0, 2)
+                out_ref[0, 0] = out.astype(out_ref.dtype)
+
+        @pl.when((mode_ref[step] == strip_mode) & on_lvl)
+        def _(lvl=lvl, h_o=h_o, w=w):
+            slot = jax.lax.rem(step, strip_depth)
             wm = wmat_ref[0, 0, :, pl.ds(0, w)]  # [P(q), W_l]
             for r in range(pool):
                 strip_dma(b, step, r, slot, lvl).wait()
@@ -285,8 +401,7 @@ def _bwd_kernel(
     dy_ref,  # [B*G] f32
     # tensor inputs / outputs / scratch (see unpacking below)
     *refs,
-    patch_y: int,
-    patch_x: int,
+    tiers: tuple,
     pool: int,
     level_hw: tuple,  # storage dims (padded to >= 8)
     level_h_orig: tuple,
@@ -295,6 +410,8 @@ def _bwd_kernel(
     ROI's pooled cotangent into its level's (zero-initialized, aliased)
     feature-map cotangent buffer."""
     n_levels = len(level_hw)
+    n_tiers = len(tiers)
+    strip_mode = n_tiers + 1
     dout_ref, ymat_ref, xmat_ref, wmat_ref = refs[n_levels : n_levels + 4]
     dfeats = refs[n_levels + 4 : 2 * n_levels + 4]
     win, spair, wsem, ssem = refs[2 * n_levels + 4 :]
@@ -315,45 +432,47 @@ def _bwd_kernel(
     for lvl in range(n_levels):
         h, w = level_hw[lvl]
         h_o = level_h_orig[lvl]
-        py, px = min(patch_y, h), min(patch_x, w)
         on_lvl = level_ref[step] == lvl
 
-        @pl.when((mode_ref[step] == 1) & on_lvl)
-        def _():
-            ym = ymat_ref[0, 0, :, pl.ds(0, py)]  # [P, py]
-            xm = xmat_ref[0, 0, :, pl.ds(0, px)]  # [P, px]
-            # drows[p, x, c] = sum_q xm[q, x] * dout[p, q, c]
-            drows = jax.lax.dot_general(
-                xm,
-                dout.transpose(1, 0, 2).reshape(pool, pool * c),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).reshape(px, pool, c).transpose(1, 0, 2)  # [P, px, C]
-            dpatch = jax.lax.dot_general(
-                ym,
-                drows.reshape(pool, px * c),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).reshape(py, px, c)
-            window = dfeats[lvl].at[
-                b,
-                pl.ds(y_start_ref[step], py),
-                pl.ds(pl.multiple_of(x_start_ref[step], 8), px),
-                :,
-            ]
-            wv = win.at[pl.ds(0, py), pl.ds(0, px), :]
-            read = pltpu.make_async_copy(window, wv, wsem)
-            read.start()
-            read.wait()
-            win[pl.ds(0, py), pl.ds(0, px), :] = (
-                win[pl.ds(0, py), pl.ds(0, px), :] + dpatch
-            )
-            write = pltpu.make_async_copy(wv, window, wsem)
-            write.start()
-            write.wait()
+        for t in range(n_tiers):
+            py, px = min(tiers[t][0], h), min(tiers[t][1], w)
 
-        @pl.when((mode_ref[step] == 2) & on_lvl)
-        def _():
+            @pl.when((mode_ref[step] == t + 1) & on_lvl)
+            def _(py=py, px=px, lvl=lvl):
+                ym = ymat_ref[0, 0, :, pl.ds(0, py)]  # [P, py]
+                xm = xmat_ref[0, 0, :, pl.ds(0, px)]  # [P, px]
+                # drows[p, x, c] = sum_q xm[q, x] * dout[p, q, c]
+                drows = jax.lax.dot_general(
+                    xm,
+                    dout.transpose(1, 0, 2).reshape(pool, pool * c),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).reshape(px, pool, c).transpose(1, 0, 2)  # [P, px, C]
+                dpatch = jax.lax.dot_general(
+                    ym,
+                    drows.reshape(pool, px * c),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).reshape(py, px, c)
+                window = dfeats[lvl].at[
+                    b,
+                    pl.ds(y_start_ref[step], py),
+                    pl.ds(pl.multiple_of(x_start_ref[step], 8), px),
+                    :,
+                ]
+                wv = win.at[pl.ds(0, py), pl.ds(0, px), :]
+                read = pltpu.make_async_copy(window, wv, wsem)
+                read.start()
+                read.wait()
+                win[pl.ds(0, py), pl.ds(0, px), :] = (
+                    win[pl.ds(0, py), pl.ds(0, px), :] + dpatch
+                )
+                write = pltpu.make_async_copy(wv, window, wsem)
+                write.start()
+                write.wait()
+
+        @pl.when((mode_ref[step] == strip_mode) & on_lvl)
+        def _(lvl=lvl, h_o=h_o, w=w):
             wm = wmat_ref[0, 0, :, pl.ds(0, w)]  # [P(q), W_l]
             for r in range(pool):
                 row0, t = strip_row(step, r, h_o)
@@ -383,18 +502,17 @@ def _batched_geometry(boxes, pool_size, image_shape, denominator, level_hw):
     from maskrcnn_tf2_tpu.ops.roi_align import roi_level_assignment
 
     level_hw_s = _storage_hw(level_hw)
+    tiers = _effective_tiers(level_hw_s)
     boxes = jax.lax.stop_gradient(boxes).astype(jnp.float32)
     image_area = float(image_shape[0]) * float(image_shape[1])
     levels = roi_level_assignment(boxes, image_area, len(level_hw), denominator)
     valid = (boxes[..., 2] > boxes[..., 0]) & (boxes[..., 3] > boxes[..., 1])
-    patch_y = min(PATCH_Y, max(h for h, _ in level_hw_s))
-    patch_x = min(PATCH_X, max(w for _, w in level_hw_s))
     geo = jax.vmap(
         lambda bx, vl, lv: _pyramid_geometry(
-            bx, vl, lv, level_hw, pool_size, patch_y, patch_x, level_hw_s
+            bx, vl, lv, level_hw, pool_size, tiers, level_hw_s
         )
     )(boxes, valid, levels)
-    return levels, geo, patch_y, patch_x
+    return levels, geo, tiers
 
 
 def _pyramid_fwd_impl(features, boxes, pool_size, image_shape, denominator, interpret):
@@ -410,16 +528,22 @@ def _pyramid_fwd_impl(features, boxes, pool_size, image_shape, denominator, inte
     p = pool_size
     c = features[0].shape[-1]
     w_max = max(w for _, w in level_hw_s)
-    levels, geo, patch_y, patch_x = _batched_geometry(
+    levels, geo, tiers = _batched_geometry(
         boxes, pool_size, image_shape, denominator, level_hw
     )
     y_start, x_start, y1f, mode, dy, ymat, xmat, wmat = geo
+    patch_y = max(py for py, _ in tiers)
+    patch_x = max(px for _, px in tiers)
+    depths, strip_depth = _ring_depths(
+        tiers, p, w_max, c, jnp.dtype(features[0].dtype).itemsize
+    )
 
     return pl.pallas_call(
         functools.partial(
             _fwd_kernel,
-            patch_y=patch_y,
-            patch_x=patch_x,
+            tiers=tiers,
+            depths=depths,
+            strip_depth=strip_depth,
             pool=p,
             n_rois=g,
             batch=bsz,
@@ -439,11 +563,15 @@ def _pyramid_fwd_impl(features, boxes, pool_size, image_shape, denominator, inte
                 (1, 1, p, p, c), lambda b, i, *_: (b, i, 0, 0, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, patch_y, patch_x, c), features[0].dtype),
-                pltpu.VMEM((2, p, 2, w_max, c), features[0].dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2, p)),
-            ],
+                pltpu.VMEM((d, min(py, max(h for h, _ in level_hw_s)),
+                            min(px, w_max), c), features[0].dtype)
+                for d, (py, px) in zip(depths, tiers)
+            ]
+            + [
+                pltpu.VMEM((strip_depth, p, 2, w_max, c), features[0].dtype),
+            ]
+            + [pltpu.SemaphoreType.DMA((d,)) for d in depths]
+            + [pltpu.SemaphoreType.DMA((strip_depth, p))],
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, g, p, p, c), features[0].dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -472,17 +600,18 @@ def _pyramid_bwd_impl(
     c = shapes_dtypes[0][0][-1]
     w_max = max(w for _, w in level_hw_s)
     n_levels = len(level_hw)
-    levels, geo, patch_y, patch_x = _batched_geometry(
+    levels, geo, tiers = _batched_geometry(
         boxes, pool_size, image_shape, denominator, level_hw
     )
     y_start, x_start, y1f, mode, dy, ymat, xmat, wmat = geo
+    patch_y = max(py for py, _ in tiers)
+    patch_x = max(px for _, px in tiers)
 
     zeros = [jnp.zeros((bsz, h, w, c), jnp.float32) for (h, w) in level_hw_s]
     out = pl.pallas_call(
         functools.partial(
             _bwd_kernel,
-            patch_y=patch_y,
-            patch_x=patch_x,
+            tiers=tiers,
             pool=p,
             level_hw=level_hw_s,
             level_h_orig=tuple(h for h, _ in level_hw),

@@ -79,9 +79,12 @@ class MaskRCNN(nn.Module):
         train_bn = train and cfg.train_bn
         # Fused on-device normalization (host pipeline ships raw 0..255;
         # replaces the reference's albumentations Normalize on CPU).
-        from maskrcnn_tf2_tpu.ops.image import normalize_image
+        from maskrcnn_tf2_tpu.ops.image import maxmin_normalize_image, normalize_image
 
-        images = normalize_image(images, cfg.pixel_mean, cfg.pixel_std)
+        if cfg.normalization == "maxmin":
+            images = maxmin_normalize_image(images)
+        else:
+            images = normalize_image(images, cfg.pixel_mean, cfg.pixel_std)
         endpoints = self.backbone(images, train_bn=train_bn_backbone)
         if cfg.frozen_backbone:
             endpoints = jax.tree.map(jax.lax.stop_gradient, endpoints)

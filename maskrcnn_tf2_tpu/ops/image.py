@@ -70,6 +70,21 @@ def normalize_image(image: jnp.ndarray, mean, std) -> jnp.ndarray:
     return (image.astype(jnp.float32) / 255.0 - mean) / std
 
 
+def maxmin_normalize_image(image: jnp.ndarray) -> jnp.ndarray:
+    """Per-image max-min scaling: (x - min) / (max - min).
+
+    The reference's ``normalize=None`` input path
+    (maxmin_normalize_input, preprocess.py:520-530). Reductions are over
+    the trailing (H, W, C) axes so the op is batch-shape agnostic.
+    """
+    x = image.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 3, x.ndim))
+    lo = jnp.min(x, axis=axes, keepdims=True)
+    x = x - lo
+    hi = jnp.max(x, axis=axes, keepdims=True)
+    return x / jnp.maximum(hi, 1e-12)
+
+
 # ---------------------------------------------------------------------------
 # crop_and_resize — bilinear, tf.image.crop_and_resize semantics
 # ---------------------------------------------------------------------------

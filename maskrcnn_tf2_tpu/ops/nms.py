@@ -104,13 +104,16 @@ def _greedy_keep_tiled(
     return jax.lax.fori_loop(0, num_tiles, tile_body, keep0)
 
 
-@partial(jax.jit, static_argnames=("max_output_size", "iou_threshold"))
+@partial(
+    jax.jit, static_argnames=("max_output_size", "iou_threshold", "presorted")
+)
 def non_max_suppression(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     max_output_size: int,
     iou_threshold: float,
     valid: jnp.ndarray | None = None,
+    presorted: bool = False,
 ):
     """Fixed-shape greedy NMS.
 
@@ -120,6 +123,10 @@ def non_max_suppression(
       max_output_size: static output slot count.
       iou_threshold: suppression threshold.
       valid: optional ``[N]`` bool mask of real (non-padding) rows.
+      presorted: caller guarantees ``scores`` (where ``valid``) are already
+        descending — e.g. they came out of ``lax.top_k`` (ProposalLayer).
+        Skips the full [N] sort, the profiled hot spot of proposal
+        generation (two 6000-row argsorts were ~4.5 ms at batch 16 on v5e).
 
     Returns:
       ``(indices, out_valid)``: ``indices [max_output_size]`` int32 indices
@@ -131,9 +138,14 @@ def non_max_suppression(
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
     scores = jnp.where(valid, scores.astype(jnp.float32), _NEG_INF)
-    order = jnp.argsort(-scores)
-    boxes_s = jnp.take(boxes, order, axis=0)
-    valid_s = jnp.take(valid, order, axis=0)
+    if presorted:
+        order = jnp.arange(n, dtype=jnp.int32)
+        boxes_s = boxes
+        valid_s = valid
+    else:
+        order = jnp.argsort(-scores)
+        boxes_s = jnp.take(boxes, order, axis=0)
+        valid_s = jnp.take(valid, order, axis=0)
 
     if _use_pallas():
         from maskrcnn_tf2_tpu.kernels.nms_pallas import (
@@ -160,13 +172,16 @@ def non_max_suppression(
         keep = _greedy_keep_tiled(boxes_s, valid_s, iou_threshold)[:n]
 
     # Stable-compact kept entries (already score-ordered) into output slots.
+    # lax.top_k is documented to break ties by lowest index, so on the
+    # score-sorted axis it is exactly the stable compaction the former full
+    # argsort computed, at ~O(N) instead of a second [N] sort.
     keep_scores = jnp.where(keep, scores[order], _NEG_INF)
     if n < max_output_size:  # pad up so output always has max_output_size slots
         extra = max_output_size - n
         keep_scores = jnp.concatenate([keep_scores, jnp.full((extra,), _NEG_INF)])
         keep = jnp.concatenate([keep, jnp.zeros((extra,), bool)])
         order = jnp.concatenate([order, jnp.zeros((extra,), order.dtype)])
-    top = jnp.argsort(-keep_scores)[:max_output_size]
+    _, top = jax.lax.top_k(keep_scores, max_output_size)
     out_valid = jnp.take(keep, top)
     indices = jnp.where(out_valid, jnp.take(order, top), 0)
     return indices.astype(jnp.int32), out_valid
@@ -178,6 +193,7 @@ def nms_padded_boxes(
     max_output_size: int,
     iou_threshold: float,
     valid: jnp.ndarray | None = None,
+    presorted: bool = False,
 ):
     """NMS returning gathered, zero-padded boxes (ProposalLayer contract:
     mrcnn_layers.py:224-231 pads the NMS output with zeros to a fixed count).
@@ -185,7 +201,7 @@ def nms_padded_boxes(
     Returns ``(out_boxes [M, 4], out_scores [M], out_valid [M])``.
     """
     idx, out_valid = non_max_suppression(
-        boxes, scores, max_output_size, iou_threshold, valid
+        boxes, scores, max_output_size, iou_threshold, valid, presorted=presorted
     )
     out_boxes = jnp.where(out_valid[:, None], jnp.take(boxes, idx, axis=0), 0.0)
     out_scores = jnp.where(out_valid, jnp.take(scores, idx), 0.0)

@@ -42,8 +42,10 @@ def _proposals_one_image(
     boxes = apply_box_deltas(top_anchors, top_deltas)
     boxes = clip_boxes(boxes, jnp.array([0.0, 0.0, 1.0, 1.0], boxes.dtype))
 
+    # top_scores came out of lax.top_k, i.e. already descending: skip the
+    # re-sort inside NMS (presorted fast path; ~4.5 ms of argsorts at b16).
     out_boxes, _, out_valid = nms_padded_boxes(
-        boxes, top_scores, proposal_count, nms_threshold
+        boxes, top_scores, proposal_count, nms_threshold, presorted=True
     )
     return out_boxes, out_valid
 

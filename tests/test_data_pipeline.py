@@ -116,3 +116,53 @@ def test_unmold_mask():
     full = unmold_mask(m, (10, 20, 30, 50), (64, 64, 3))
     assert full[10:30, 20:50].all()
     assert full.sum() == 20 * 30
+
+
+def test_augmentation_weather_extended_sets():
+    """Weather + extended sets (reference augmentation.py:30-55): every
+    transform keeps image shape/dtype and mask alignment/dtype."""
+    rs = np.random.RandomState(5)
+    image = rs.randint(0, 255, (96, 80, 3), np.uint8)
+    masks = np.zeros((96, 80, 2), bool)
+    masks[20:50, 10:40, 0] = True
+    masks[60:90, 50:70, 1] = True
+    fn = get_training_augmentation(
+        extended=True,
+        weather=True,
+        hflip_prob=0.5,
+        rotate_prob=0.5,
+        blur_prob=0.5,
+        noise_prob=0.5,
+        channel_shuffle_prob=0.5,
+        weather_prob=1.0,
+        extended_prob=1.0,
+    )
+    import random as _random
+
+    for seed in range(20):  # covers every OneOf branch across seeds
+        _random.seed(seed)
+        np.random.seed(seed)
+        img2, m2 = fn(image, masks)
+        assert img2.shape == image.shape and img2.dtype == np.uint8
+        assert m2.shape == masks.shape and m2.dtype == bool
+
+
+def test_maxmin_normalization():
+    """config.normalization='maxmin' — reference preprocess.py:520-530:
+    x -= min; x /= max."""
+    import jax.numpy as jnp
+
+    from maskrcnn_tf2_tpu.ops.image import maxmin_normalize_image
+
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (2, 16, 16, 3)).astype(np.float32)
+    got = np.asarray(maxmin_normalize_image(jnp.asarray(img)))
+    for b in range(2):
+        ref = img[b] - img[b].min()
+        ref = ref / ref.max()
+        np.testing.assert_allclose(got[b], ref, atol=1e-6)
+    # knob is validated
+    import pytest
+
+    with pytest.raises(AssertionError):
+        MaskRCNNConfig(normalization="bogus")

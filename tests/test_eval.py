@@ -1,3 +1,6 @@
+import os
+import sys
+
 import numpy as np
 
 from maskrcnn_tf2_tpu.eval.coco_eval import CocoEvalLite
@@ -116,3 +119,31 @@ def test_cocoeval_class_with_no_detections():
     ev.add_image(gt_boxes, np.array([2]), np.zeros((0, 4)), np.zeros((0,), np.int64), np.zeros((0,)))
     stats = ev.summarize(verbose=False)
     assert stats["AP"] == 0.0
+
+
+def test_cocoeval_scale_sanity():
+    """Matching must stay vectorized: 200 val2017-like images (80 classes,
+    ~29 dts each) summarize in well under a second per 100 images on this
+    box; the pre-vectorization evaluator took ~10x longer. Budget is set
+    loose (10s) so only a wholesale regression to per-(threshold, area)
+    python matching trips it. Full-scale numbers: scripts/bench_cocoeval.py
+    (5000 images: ~15s summarize)."""
+    import time
+
+    sys_path = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    sys.path.insert(0, sys_path)
+    try:
+        from bench_cocoeval import synth_image
+    finally:
+        sys.path.remove(sys_path)
+
+    rs = np.random.RandomState(3)
+    ev = CocoEvalLite(use_masks=False)
+    for _ in range(200):
+        gt_b, gt_i, dt_b, dt_i, dt_s = synth_image(rs)
+        ev.add_image(gt_b, gt_i, dt_b, dt_i, dt_s)
+    t0 = time.time()
+    stats = ev.summarize(verbose=False)
+    elapsed = time.time() - t0
+    assert np.isfinite(stats["AP"]) and 0.0 < stats["AP"] < 1.0
+    assert elapsed < 10.0, f"CocoEvalLite.summarize took {elapsed:.1f}s for 200 images"

@@ -97,3 +97,50 @@ def test_nms_padded_boxes_zero_pad():
     np.testing.assert_allclose(np.asarray(out_boxes)[1], [2, 2, 3, 3])
     np.testing.assert_allclose(np.asarray(out_boxes)[2:], 0.0)
     np.testing.assert_allclose(np.asarray(out_scores), [0.9, 0.7, 0.0, 0.0])
+
+
+def test_nms_presorted_matches_unsorted():
+    """presorted=True on score-descending input == the general path.
+
+    The ProposalLayer feeds lax.top_k output (already descending) into NMS;
+    the presorted fast path must keep identical semantics, including ties
+    and the trailing-invalid interleave.
+    """
+    rs = np.random.RandomState(11)
+    boxes, scores = random_boxes_scores(rs, 200)
+    scores = np.round(scores, 2)  # force some exact ties
+    order = np.argsort(-scores, kind="stable")
+    boxes_s, scores_s = boxes[order], scores[order]
+    for m in (50, 200):
+        idx_ref, val_ref = non_max_suppression(
+            jnp.asarray(boxes_s), jnp.asarray(scores_s), m, 0.5
+        )
+        idx_fast, val_fast = non_max_suppression(
+            jnp.asarray(boxes_s), jnp.asarray(scores_s), m, 0.5, presorted=True
+        )
+        np.testing.assert_array_equal(np.asarray(val_ref), np.asarray(val_fast))
+        np.testing.assert_array_equal(np.asarray(idx_ref), np.asarray(idx_fast))
+
+
+def test_nms_presorted_with_valid_mask():
+    rs = np.random.RandomState(13)
+    boxes, scores = random_boxes_scores(rs, 96)
+    order = np.argsort(-scores, kind="stable")
+    boxes_s, scores_s = boxes[order], scores[order]
+    valid = np.ones(96, bool)
+    valid[10] = valid[40] = False  # interleaved invalid rows stay excluded
+    idx, out_valid = non_max_suppression(
+        jnp.asarray(boxes_s),
+        jnp.asarray(scores_s),
+        96,
+        0.5,
+        jnp.asarray(valid),
+        presorted=True,
+    )
+    kept = np.asarray(idx)[np.asarray(out_valid)]
+    assert 10 not in kept and 40 not in kept
+    want = nms_oracle(
+        boxes_s[valid], scores_s[valid], 0.5, 96
+    )
+    remap = np.flatnonzero(valid)
+    assert list(kept) == [remap[i] for i in want]
