@@ -60,6 +60,11 @@ def build_argparser():
         help="directory for the pre-decoded npz sample cache "
              "(lets one CPU core feed the chip; see scripts/bench_loader.py)",
     )
+    p.add_argument(
+        "--sync_bn", action="store_true",
+        help="cross-replica BatchNorm statistics over the DP mesh axis "
+             "(use when per-device batch is small, e.g. 1 img/chip)",
+    )
     return p
 
 
@@ -114,6 +119,7 @@ def main(argv=None):
         "device_augment",
     )
     put("sample_cache_dir", args.sample_cache, "sample_cache")
+    put("sync_bn", args.sync_bn, "sync_bn")
 
     if args.config:
         from maskrcnn_tf2_tpu.config import MaskRCNNConfig

@@ -66,6 +66,13 @@ class MaskRCNNConfig:
     backbone_init_weights: str | None = None  # None | 'imagenet' | path
     train_bn: bool = True
     train_bn_backbone: bool = True
+    # Cross-replica BN statistics (psum over the "data" mesh axis inside
+    # every BatchNorm). Per-shard BN is statistically broken at small
+    # per-device batch (1 img/shard on an 8-chip DP mesh); the reference is
+    # single-GPU so has no equivalent knob. Requires the shard_map train
+    # path (the default train loop / DP step); plain single-device jit of
+    # the train step will fail with an unbound-axis error if this is set.
+    sync_bn: bool = False
 
     # ---- anchors (reference config.py:75-84) ----
     rpn_anchor_scales: Tuple[int, ...] = (32, 64, 128, 256, 512)

@@ -52,7 +52,7 @@ def round_repeats(repeats: int, depth: float) -> int:
     return int(math.ceil(depth * repeats))
 
 
-def _conv_bn(x, features, kernel, strides, dtype, train_bn, name, groups=1, act=True):
+def _conv_bn(x, features, kernel, strides, dtype, train_bn, name, groups=1, act=True, bn_axis=None):
     x = nn.Conv(
         features,
         (kernel, kernel),
@@ -69,6 +69,7 @@ def _conv_bn(x, features, kernel, strides, dtype, train_bn, name, groups=1, act=
         epsilon=1e-3,
         dtype=dtype,
         name=f"{name}_bn",
+        axis_name=bn_axis,
     )(x)
     return nn.swish(x) if act else x
 
@@ -80,6 +81,7 @@ class MBConv(nn.Module):
     features: int
     se_ratio: float = 0.25
     dtype: Any = jnp.bfloat16
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train_bn: bool) -> Array:
@@ -87,9 +89,9 @@ class MBConv(nn.Module):
         in_ch = x.shape[-1]
         y = x
         if self.expand != 1:
-            y = _conv_bn(y, in_ch * self.expand, 1, 1, d, train_bn, "expand")
+            y = _conv_bn(y, in_ch * self.expand, 1, 1, d, train_bn, "expand", bn_axis=self.bn_axis)
         mid = y.shape[-1]
-        y = _conv_bn(y, mid, self.kernel, self.strides, d, train_bn, "dw", groups=mid)
+        y = _conv_bn(y, mid, self.kernel, self.strides, d, train_bn, "dw", groups=mid, bn_axis=self.bn_axis)
         # Squeeze-excite on the expanded features, reduction vs input channels.
         se_ch = max(1, int(in_ch * self.se_ratio))
         s = jnp.mean(y.astype(jnp.float32), axis=(1, 2))
@@ -98,7 +100,7 @@ class MBConv(nn.Module):
         s = nn.Dense(mid, dtype=d, name="se_expand")(s)
         s = nn.sigmoid(s.astype(jnp.float32)).astype(y.dtype)
         y = y * s[:, None, None, :]
-        y = _conv_bn(y, self.features, 1, 1, d, train_bn, "project", act=False)
+        y = _conv_bn(y, self.features, 1, 1, d, train_bn, "project", act=False, bn_axis=self.bn_axis)
         if self.strides == 1 and in_ch == self.features:
             y = y + x
         return y
@@ -108,12 +110,13 @@ class EfficientNet(nn.Module):
     width: float = 1.0
     depth: float = 1.0
     dtype: Any = jnp.bfloat16
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train_bn: bool = False) -> Dict[str, Array]:
         d = self.dtype
         x = x.astype(d)
-        x = _conv_bn(x, round_filters(32, self.width), 3, 2, d, train_bn, "stem")
+        x = _conv_bn(x, round_filters(32, self.width), 3, 2, d, train_bn, "stem", bn_axis=self.bn_axis)
 
         endpoints = {}
         stride = 2
@@ -127,7 +130,8 @@ class EfficientNet(nn.Module):
                     endpoints[f"stride{stride}"] = x
                     stride *= 2
                 x = MBConv(
-                    kernel, s, expand, features, dtype=d, name=f"block{bidx}"
+                    kernel, s, expand, features, dtype=d, bn_axis=self.bn_axis,
+                    name=f"block{bidx}"
                 )(x, train_bn)
                 bidx += 1
         endpoints[f"stride{stride}"] = x

@@ -29,18 +29,18 @@ def backbone_names():
     )
 
 
-def get_backbone(name: str, dtype: Any = jnp.bfloat16, leaky_relu: bool = False):
+def get_backbone(name: str, dtype: Any = jnp.bfloat16, leaky_relu: bool = False, bn_axis: Any = None):
     """Build the backbone module for a reference backbone key."""
     name = name.lower()
     if name in RESNET_VARIANTS:
-        return ResNet(dtype=dtype, leaky_relu=leaky_relu, name="backbone", **RESNET_VARIANTS[name])
+        return ResNet(dtype=dtype, leaky_relu=leaky_relu, bn_axis=bn_axis, name="backbone", **RESNET_VARIANTS[name])
     if name == "mobilenet":
-        return MobileNetV1(dtype=dtype, name="backbone")
+        return MobileNetV1(dtype=dtype, bn_axis=bn_axis, name="backbone")
     if name == "mobilenetv2":
-        return MobileNetV2(dtype=dtype, name="backbone")
+        return MobileNetV2(dtype=dtype, bn_axis=bn_axis, name="backbone")
     if name in EFFICIENTNET_PARAMS:
         width, depth = EFFICIENTNET_PARAMS[name]
-        return EfficientNet(width=width, depth=depth, dtype=dtype, name="backbone")
+        return EfficientNet(width=width, depth=depth, dtype=dtype, bn_axis=bn_axis, name="backbone")
     raise ValueError(
         f"unknown backbone '{name}'; available: {backbone_names()}"
     )

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
-def _conv_bn(x, features, kernel, strides, dtype, train_bn, name, groups=1, act=nn.relu6):
+def _conv_bn(x, features, kernel, strides, dtype, train_bn, name, groups=1, act=nn.relu6, bn_axis=None):
     x = nn.Conv(
         features,
         kernel,
@@ -33,6 +33,7 @@ def _conv_bn(x, features, kernel, strides, dtype, train_bn, name, groups=1, act=
         epsilon=1e-3,
         dtype=dtype,
         name=f"{name}_bn",
+        axis_name=bn_axis,
     )(x)
     return act(x) if act is not None else x
 
@@ -40,6 +41,7 @@ def _conv_bn(x, features, kernel, strides, dtype, train_bn, name, groups=1, act=
 class MobileNetV1(nn.Module):
     alpha: float = 1.0
     dtype: Any = jnp.bfloat16
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train_bn: bool = False) -> Dict[str, Array]:
@@ -49,14 +51,16 @@ class MobileNetV1(nn.Module):
             return max(8, int(ch * self.alpha))
 
         x = x.astype(d)
-        x = _conv_bn(x, c(32), (3, 3), (2, 2), d, train_bn, "stem")
+        x = _conv_bn(x, c(32), (3, 3), (2, 2), d, train_bn, "stem", bn_axis=self.bn_axis)
 
         def ds_block(x, features, strides, name):
             in_ch = x.shape[-1]
             x = _conv_bn(
-                x, in_ch, (3, 3), strides, d, train_bn, f"{name}_dw", groups=in_ch
+                x, in_ch, (3, 3), strides, d, train_bn, f"{name}_dw", groups=in_ch, bn_axis=self.bn_axis)
+            return _conv_bn(
+                x, features, (1, 1), (1, 1), d, train_bn, f"{name}_pw",
+                bn_axis=self.bn_axis,
             )
-            return _conv_bn(x, features, (1, 1), (1, 1), d, train_bn, f"{name}_pw")
 
         x = ds_block(x, c(64), (1, 1), "b1")
         endpoints = {"C1": x}  # stride 2
@@ -81,6 +85,7 @@ class InvertedResidual(nn.Module):
     strides: int = 1
     expand: int = 6
     dtype: Any = jnp.bfloat16
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train_bn: bool) -> Array:
@@ -88,12 +93,11 @@ class InvertedResidual(nn.Module):
         in_ch = x.shape[-1]
         y = x
         if self.expand != 1:
-            y = _conv_bn(y, in_ch * self.expand, (1, 1), (1, 1), d, train_bn, "expand")
+            y = _conv_bn(y, in_ch * self.expand, (1, 1), (1, 1), d, train_bn, "expand", bn_axis=self.bn_axis)
         mid = y.shape[-1]
         y = _conv_bn(
-            y, mid, (3, 3), (self.strides, self.strides), d, train_bn, "dw", groups=mid
-        )
-        y = _conv_bn(y, self.features, (1, 1), (1, 1), d, train_bn, "project", act=None)
+            y, mid, (3, 3), (self.strides, self.strides), d, train_bn, "dw", groups=mid, bn_axis=self.bn_axis)
+        y = _conv_bn(y, self.features, (1, 1), (1, 1), d, train_bn, "project", act=None, bn_axis=self.bn_axis)
         if self.strides == 1 and in_ch == self.features:
             y = y + x
         return y
@@ -102,6 +106,7 @@ class InvertedResidual(nn.Module):
 class MobileNetV2(nn.Module):
     alpha: float = 1.0
     dtype: Any = jnp.bfloat16
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train_bn: bool = False) -> Dict[str, Array]:
@@ -111,7 +116,7 @@ class MobileNetV2(nn.Module):
             return max(8, int(ch * self.alpha + 4) // 8 * 8)
 
         x = x.astype(d)
-        x = _conv_bn(x, c(32), (3, 3), (2, 2), d, train_bn, "stem")
+        x = _conv_bn(x, c(32), (3, 3), (2, 2), d, train_bn, "stem", bn_axis=self.bn_axis)
         # (expand, features, repeats, first_stride)
         schedule = [
             (1, 16, 1, 1),
@@ -132,7 +137,8 @@ class MobileNetV2(nn.Module):
                     endpoints[f"stride{stride}"] = x
                     stride *= 2
                 x = InvertedResidual(
-                    c(features), s, expand, dtype=d, name=f"block{bidx}"
+                    c(features), s, expand, dtype=d, bn_axis=self.bn_axis,
+                    name=f"block{bidx}"
                 )(x, train_bn)
                 bidx += 1
         endpoints[f"stride{stride}"] = x

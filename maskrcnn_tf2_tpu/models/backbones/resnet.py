@@ -48,6 +48,7 @@ class ConvBN(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     groups: int = 1
     dtype: Any = jnp.bfloat16
+    bn_axis: Any = None  # mesh axis for sync-BN (config.sync_bn)
 
     @nn.compact
     def __call__(self, x: Array, train_bn: bool) -> Array:
@@ -67,6 +68,7 @@ class ConvBN(nn.Module):
             epsilon=1e-5,
             dtype=self.dtype,
             name="bn",
+            axis_name=self.bn_axis,
         )(x)
         return x
 
@@ -77,20 +79,21 @@ class BasicBlock(nn.Module):
     use_se: bool = False
     act: Callable = nn.relu
     dtype: Any = jnp.bfloat16
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train_bn: bool) -> Array:
         shortcut = x
-        y = ConvBN(self.features, (3, 3), self.strides, dtype=self.dtype, name="conv1")(
+        y = ConvBN(self.features, (3, 3), self.strides, dtype=self.dtype, bn_axis=self.bn_axis, name="conv1")(
             x, train_bn
         )
         y = self.act(y)
-        y = ConvBN(self.features, (3, 3), dtype=self.dtype, name="conv2")(y, train_bn)
+        y = ConvBN(self.features, (3, 3), dtype=self.dtype, bn_axis=self.bn_axis, name="conv2")(y, train_bn)
         if self.use_se:
             y = SqueezeExcite(dtype=self.dtype, name="se")(y)
         if shortcut.shape[-1] != self.features or self.strides != (1, 1):
             shortcut = ConvBN(
-                self.features, (1, 1), self.strides, dtype=self.dtype, name="downsample"
+                self.features, (1, 1), self.strides, dtype=self.dtype, bn_axis=self.bn_axis, name="downsample"
             )(x, train_bn)
         return self.act(y + shortcut)
 
@@ -103,24 +106,25 @@ class Bottleneck(nn.Module):
     use_se: bool = False
     act: Callable = nn.relu
     dtype: Any = jnp.bfloat16
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train_bn: bool) -> Array:
         width = int(self.features * (self.base_width / 64.0)) * self.groups
         out_features = self.features * 4
         shortcut = x
-        y = ConvBN(width, (1, 1), dtype=self.dtype, name="conv1")(x, train_bn)
+        y = ConvBN(width, (1, 1), dtype=self.dtype, bn_axis=self.bn_axis, name="conv1")(x, train_bn)
         y = self.act(y)
         y = ConvBN(
-            width, (3, 3), self.strides, groups=self.groups, dtype=self.dtype, name="conv2"
+            width, (3, 3), self.strides, groups=self.groups, dtype=self.dtype, bn_axis=self.bn_axis, name="conv2"
         )(y, train_bn)
         y = self.act(y)
-        y = ConvBN(out_features, (1, 1), dtype=self.dtype, name="conv3")(y, train_bn)
+        y = ConvBN(out_features, (1, 1), dtype=self.dtype, bn_axis=self.bn_axis, name="conv3")(y, train_bn)
         if self.use_se:
             y = SqueezeExcite(dtype=self.dtype, name="se")(y)
         if shortcut.shape[-1] != out_features or self.strides != (1, 1):
             shortcut = ConvBN(
-                out_features, (1, 1), self.strides, dtype=self.dtype, name="downsample"
+                out_features, (1, 1), self.strides, dtype=self.dtype, bn_axis=self.bn_axis, name="downsample"
             )(x, train_bn)
         return self.act(y + shortcut)
 
@@ -140,6 +144,7 @@ class ResNet(nn.Module):
     stem_width: int = 64
     leaky_relu: bool = False
     dtype: Any = jnp.bfloat16
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train_bn: bool = False) -> Dict[str, Array]:
@@ -147,18 +152,18 @@ class ResNet(nn.Module):
         x = x.astype(self.dtype)
 
         if self.deep_stem:
-            x = ConvBN(self.stem_width, (3, 3), (2, 2), dtype=self.dtype, name="stem1")(
+            x = ConvBN(self.stem_width, (3, 3), (2, 2), dtype=self.dtype, bn_axis=self.bn_axis, name="stem1")(
                 x, train_bn
             )
             x = act(x)
-            x = ConvBN(self.stem_width, (3, 3), dtype=self.dtype, name="stem2")(x, train_bn)
+            x = ConvBN(self.stem_width, (3, 3), dtype=self.dtype, bn_axis=self.bn_axis, name="stem2")(x, train_bn)
             x = act(x)
-            x = ConvBN(self.stem_width * 2, (3, 3), dtype=self.dtype, name="stem3")(
+            x = ConvBN(self.stem_width * 2, (3, 3), dtype=self.dtype, bn_axis=self.bn_axis, name="stem3")(
                 x, train_bn
             )
             x = act(x)
         else:
-            x = ConvBN(self.stem_width, (7, 7), (2, 2), dtype=self.dtype, name="stem")(
+            x = ConvBN(self.stem_width, (7, 7), (2, 2), dtype=self.dtype, bn_axis=self.bn_axis, name="stem")(
                 x, train_bn
             )
             x = act(x)
@@ -178,7 +183,7 @@ class ResNet(nn.Module):
                         use_se=self.use_se,
                         act=act,
                         dtype=self.dtype,
-                        name=name,
+                        bn_axis=self.bn_axis, name=name,
                     )(x, train_bn)
                 else:
                     x = Bottleneck(
@@ -189,7 +194,7 @@ class ResNet(nn.Module):
                         use_se=self.use_se,
                         act=act,
                         dtype=self.dtype,
-                        name=name,
+                        bn_axis=self.bn_axis, name=name,
                     )(x, train_bn)
             endpoints[f"C{stage_idx + 2}"] = x
             features *= 2

@@ -21,13 +21,14 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
-def _bn(name, train_bn, dtype):
+def _bn(name, train_bn, dtype, bn_axis=None):
     return nn.BatchNorm(
         use_running_average=not train_bn,
         momentum=0.9,
         epsilon=1e-5,
         dtype=dtype,
         name=name,
+        axis_name=bn_axis,
     )
 
 
@@ -43,6 +44,7 @@ class FPNClassifierHead(nn.Module):
     fc_size: int = 1024
     leaky_relu: bool = False
     dtype: Any = jnp.bfloat16
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, roi_features: Array, train_bn: bool = False):
@@ -55,10 +57,10 @@ class FPNClassifierHead(nn.Module):
         # also compiles pathologically slowly on TPU).
         x = roi_features.reshape(b * n, p * p * c).astype(d)
         x = nn.Dense(self.fc_size, dtype=d, name="mrcnn_class_conv1")(x)
-        x = _bn("mrcnn_class_bn1", train_bn, d)(x)
+        x = _bn("mrcnn_class_bn1", train_bn, d, self.bn_axis)(x)
         x = act(x)
         x = nn.Dense(self.fc_size, dtype=d, name="mrcnn_class_conv2")(x)
-        x = _bn("mrcnn_class_bn2", train_bn, d)(x)
+        x = _bn("mrcnn_class_bn2", train_bn, d, self.bn_axis)(x)
         x = act(x)
         shared = x
 
@@ -82,6 +84,7 @@ class FPNMaskHead(nn.Module):
     conv_channels: int = 256
     leaky_relu: bool = False
     dtype: Any = jnp.bfloat16
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, roi_features: Array, train_bn: bool = False) -> Array:
@@ -95,7 +98,7 @@ class FPNMaskHead(nn.Module):
                 self.conv_channels, (3, 3), padding="SAME", dtype=d,
                 name=f"mrcnn_mask_conv{i}",
             )(x)
-            x = _bn(f"mrcnn_mask_bn{i}", train_bn, d)(x)
+            x = _bn(f"mrcnn_mask_bn{i}", train_bn, d, self.bn_axis)(x)
             x = act(x)
 
         x = nn.ConvTranspose(

@@ -52,7 +52,15 @@ class MaskRCNN(nn.Module):
     def setup(self):
         cfg = self.config
         d = _dtype_of(cfg)
-        self.backbone = get_backbone(cfg.backbone, dtype=d, leaky_relu=cfg.resnet_leaky_relu)
+        # Sync-BN (config.sync_bn): batch statistics psum'd over the DP mesh
+        # axis inside every BatchNorm — requires running under shard_map on
+        # the "data" axis (the default train loop). Per-shard BN at 1
+        # img/shard is statistically broken; this is the multi-chip answer
+        # to the reference's single-GPU train_bn (config.py:152-156).
+        bn_axis = cfg.mesh_data_axis if cfg.sync_bn else None
+        self.backbone = get_backbone(
+            cfg.backbone, dtype=d, leaky_relu=cfg.resnet_leaky_relu, bn_axis=bn_axis
+        )
         self.fpn = FPN(out_channels=cfg.top_down_pyramid_size, dtype=d)
         self.rpn = RPNHead(
             anchors_per_location=cfg.anchors_per_location,
@@ -65,11 +73,13 @@ class MaskRCNN(nn.Module):
             fc_size=cfg.fpn_cls_fc_layers_size,
             leaky_relu=cfg.cls_head_leaky_relu,
             dtype=d,
+            bn_axis=bn_axis,
         )
         self.mask_head = FPNMaskHead(
             num_classes=cfg.num_classes,
             leaky_relu=cfg.mask_head_leaky_relu,
             dtype=d,
+            bn_axis=bn_axis,
         )
 
     # ------------------------------------------------------------------
