@@ -90,6 +90,12 @@ class MaskRCNNConfig:
     pre_nms_limit: int = 6000
     post_nms_rois_training: int = 2000
     post_nms_rois_inference: int = 1000
+    # TPU PartialReduce (approx_max_k, expected recall >=0.99) for the
+    # pre-NMS anchor top-k instead of the full 262k-anchor sort (5.3 ms at
+    # b16/1024px on v5e). Lowers to EXACT top_k on CPU, so oracle tests and
+    # the reference's tf.nn.top_k semantics are preserved off-TPU. Only
+    # kicks in when anchors >= 4x pre_nms_limit.
+    proposal_approx_topk: bool = True
 
     # ---- detection (reference config.py:106-112) ----
     detection_min_confidence: float = 0.7

@@ -117,6 +117,7 @@ class MaskRCNN(nn.Module):
             pre_nms_limit=cfg.pre_nms_limit,
             proposal_count=cfg.post_nms_rois(train),
             nms_threshold=cfg.rpn_nms_threshold,
+            approx_topk=cfg.proposal_approx_topk,
         )
 
     # ------------------------------------------------------------------

@@ -32,9 +32,21 @@ def _proposals_one_image(
     pre_nms_limit: int,
     proposal_count: int,
     nms_threshold: float,
+    approx_topk: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     pre = min(pre_nms_limit, scores.shape[0])
-    top_scores, top_idx = jax.lax.top_k(scores, pre)
+    if approx_topk and scores.shape[0] >= 4 * pre:
+        # TPU PartialReduce instead of the full stable sort lax.top_k lowers
+        # to (sort of 262k anchors = 5.3 ms/b16 on v5e, the 3rd-largest op in
+        # the whole inference graph). Expected recall >=0.99 of the true
+        # top-k; misses are at the low-score boundary where NMS keeps none.
+        # Non-TPU backends lower this to exact top_k, so CPU oracle parity
+        # (tests/test_funnel_parity.py) is bit-unchanged.
+        top_scores, top_idx = jax.lax.approx_max_k(
+            scores, pre, recall_target=0.99, aggregate_to_topk=True
+        )
+    else:
+        top_scores, top_idx = jax.lax.top_k(scores, pre)
     top_deltas = jnp.take(deltas, top_idx, axis=0)
     top_anchors = jnp.take(anchors, top_idx, axis=0)
 
@@ -52,7 +64,9 @@ def _proposals_one_image(
 
 @partial(
     jax.jit,
-    static_argnames=("pre_nms_limit", "proposal_count", "nms_threshold"),
+    static_argnames=(
+        "pre_nms_limit", "proposal_count", "nms_threshold", "approx_topk"
+    ),
 )
 def generate_proposals(
     rpn_probs: jnp.ndarray,  # [B, A, 2] (bg, fg) softmax
@@ -62,6 +76,7 @@ def generate_proposals(
     pre_nms_limit: int,
     proposal_count: int,
     nms_threshold: float,
+    approx_topk: bool = False,
 ):
     """Batched proposals.
 
@@ -84,5 +99,6 @@ def generate_proposals(
         pre_nms_limit=pre_nms_limit,
         proposal_count=proposal_count,
         nms_threshold=nms_threshold,
+        approx_topk=approx_topk,
     )
     return jax.vmap(fn, in_axes=(0, 0, None))(scores, deltas, anchors)

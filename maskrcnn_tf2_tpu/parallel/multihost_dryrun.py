@@ -33,6 +33,10 @@ def worker(coordinator: str, num_processes: int, process_id: int,
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", local_devices)
 
+    from maskrcnn_tf2_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()  # N workers compile identical programs — share them
+
     from maskrcnn_tf2_tpu.parallel import distributed as dist
 
     dist.initialize(coordinator, num_processes, process_id)

@@ -216,16 +216,24 @@ def train_model(
             # from the global val length, so all hosts agree — including on
             # skipping validation entirely when the val set is too small).
             val_fixed = val_loader.steps_per_epoch if n_proc > 1 else None
-            val_losses = []
+            # Device-side aggregation (same as the train loop): one host
+            # sync AFTER the last batch instead of a blocking float() fetch
+            # per eval batch.
+            val_agg, val_n = None, 0
             if not (n_proc > 1 and val_fixed == 0):
                 for vb in val_loader.epoch(fixed_steps=val_fixed):
                     vl = eval_step(
                         state, place(jax.tree.map(jnp.asarray, vb)), rng
                     )
-                    val_losses.append({k: float(v) for k, v in vl.items()})
-            if val_losses:
-                for k in val_losses[0]:
-                    metrics[f"val_{k}"] = float(np.mean([v[k] for v in val_losses]))
+                    val_agg = (
+                        vl
+                        if val_agg is None
+                        else jax.tree.map(jnp.add, val_agg, vl)
+                    )
+                    val_n += 1
+            if val_agg is not None:
+                for k, v in val_agg.items():
+                    metrics[f"val_{k}"] = float(v) / val_n
 
         monitor = metrics.get("val_loss_sum", metrics.get("loss_sum", 0.0))
         new_lr = sched.update(monitor)

@@ -147,6 +147,36 @@ def _loss_and_updates(
     return total, (losses, mutated.get("batch_stats", batch_stats))
 
 
+def fused_pmean(trees, axis_name: str):
+    """pmean every leaf of ``trees`` (a tuple of pytrees) in ONE all-reduce.
+
+    ``jax.lax.pmean`` on a pytree emits one all-reduce per leaf (~173 for
+    grads + losses + batch_stats of a ResNet-FPN step). On TPU XLA's
+    all-reduce combiner re-merges them, but each XLA:CPU collective is its
+    own spin-wait rendezvous phase — with N virtual devices sharing one
+    host core (the multichip dryrun) that turns a <10 s step into minutes
+    and races the 60 s rendezvous kill (rendezvous.cc). Flattening to a
+    single f32 vector is bit-equivalent for f32 leaves and costs only one
+    concat+slice pass of HBM traffic.
+    """
+    leaves, treedef = jax.tree.flatten(trees)
+    if not leaves:
+        return trees
+    shapes = [(l.shape, l.dtype) for l in leaves]
+    flat = jnp.concatenate(
+        [jnp.ravel(l).astype(jnp.float32) for l in leaves]
+    )
+    flat = jax.lax.pmean(flat, axis_name)
+    out, off = [], 0
+    for shape, dtype in shapes:
+        n = 1
+        for d in shape:
+            n *= int(d)
+        out.append(flat[off : off + n].reshape(shape).astype(dtype))
+        off += n
+    return jax.tree.unflatten(treedef, out)
+
+
 def make_train_step(config: MaskRCNNConfig, axis_name: str | None = None):
     """Build the fused train step. If ``axis_name`` is set, gradients and
     metrics are psum-averaged over that mesh axis (call under shard_map)."""
@@ -163,16 +193,18 @@ def make_train_step(config: MaskRCNNConfig, axis_name: str | None = None):
             state.params, state.batch_stats, batch, rng, config, anchors, True
         )
         if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
-            losses = jax.lax.pmean(losses, axis_name)
             if not config.sync_bn:
                 # Per-shard BN: running stats diverge across replicas, so
                 # reconcile them here (~13 ms/step r50@512 b8 on v5e). With
                 # sync-BN the normalization ITSELF uses cross-replica batch
                 # statistics (BatchNorm axis_name psum), so the updated
                 # running stats are already bit-identical on every shard
-                # and this reduction is pure overhead — skip it.
-                new_batch_stats = jax.lax.pmean(new_batch_stats, axis_name)
+                # and that reduction would be pure overhead.
+                grads, losses, new_batch_stats = fused_pmean(
+                    (grads, losses, new_batch_stats), axis_name
+                )
+            else:
+                grads, losses = fused_pmean((grads, losses), axis_name)
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
@@ -227,7 +259,7 @@ def make_eval_step(config: MaskRCNNConfig, axis_name: str | None = None):
         )
         del losses["l2_loss"]
         if axis_name is not None:
-            losses = jax.lax.pmean(losses, axis_name)
+            (losses,) = fused_pmean((losses,), axis_name)
         return losses
 
     return eval_step
@@ -237,9 +269,17 @@ def make_eval_step(config: MaskRCNNConfig, axis_name: str | None = None):
 # Data-parallel wiring
 # ---------------------------------------------------------------------------
 
-def make_data_parallel_train_step(config: MaskRCNNConfig, mesh: Mesh):
+def make_data_parallel_train_step(
+    config: MaskRCNNConfig, mesh: Mesh, compiler_options=None
+):
     """shard_map'd train step: batch sharded over the ``data`` axis, state
-    replicated, gradient all-reduce over ICI."""
+    replicated, gradient all-reduce over ICI.
+
+    ``compiler_options`` is forwarded to ``jax.jit`` — the multichip dryrun
+    uses it to raise XLA:CPU's in-process collective rendezvous timeouts
+    (20 s warn / 40 s SIGABRT by default), which otherwise race against the
+    serial execution of N virtual device threads on one host core.
+    """
     axis = config.mesh_data_axis
     step_fn = make_train_step(config, axis_name=axis)
 
@@ -256,7 +296,7 @@ def make_data_parallel_train_step(config: MaskRCNNConfig, mesh: Mesh):
         out_specs=(state_spec, state_spec),
         check_rep=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, compiler_options=compiler_options)
 
 
 def make_data_parallel_eval_step(config: MaskRCNNConfig, mesh: Mesh):
