@@ -49,6 +49,20 @@ def _flops_of(compiled) -> float:
         return 0.0
 
 
+def _devices_with_retry(jax, attempts: int = 6, wait_s: float = 120.0):
+    """The axon TPU tunnel is occasionally unavailable for minutes at a
+    time; one failed backend init would otherwise lose the whole bench run
+    (observed: rc!=0 after 25 min of buffering). Bounded retry, then raise."""
+    for i in range(attempts):
+        try:
+            return jax.devices()
+        except Exception as e:  # backend init failure — tunnel down
+            if i == attempts - 1:
+                raise
+            print(f"# TPU backend unavailable ({e!r}); retry {i + 1}/{attempts}", flush=True)
+            time.sleep(wait_s)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -61,7 +75,7 @@ def main():
     from maskrcnn_tf2_tpu.models import MaskRCNN
     from maskrcnn_tf2_tpu.ops.image import compose_image_meta
 
-    dev = jax.devices()[0]
+    dev = _devices_with_retry(jax)[0]
     on_tpu = any(d.platform == "tpu" for d in jax.devices()) or "TPU" in str(dev)
     peak = _peak_flops(dev)
     if on_tpu:

@@ -31,7 +31,10 @@ import jax.numpy as jnp
 
 from maskrcnn_tf2_tpu.ops.boxes import overlaps
 
-_NEG_INF = jnp.float32(-1e9)
+# Python scalar, NOT jnp.float32(...): a module-level jnp constant forces
+# backend initialization at import time (observed: `import maskrcnn_tf2_tpu`
+# spinning on an unreachable TPU tunnel before any compute was requested).
+_NEG_INF = -1e9
 TILE = 512
 
 

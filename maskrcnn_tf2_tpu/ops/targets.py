@@ -30,7 +30,9 @@ import jax.numpy as jnp
 from maskrcnn_tf2_tpu.ops.boxes import encode_boxes, overlaps
 from maskrcnn_tf2_tpu.ops.image import crop_and_resize, crop_and_resize_separable
 
-_BIG = jnp.float32(1e9)
+# Python scalar, NOT jnp.float32(...): module-level jnp constants force
+# backend initialization at import time (see ops/nms.py).
+_BIG = 1e9
 
 
 def _random_keep_topk(rng, candidate: jnp.ndarray, k, k_bound: int | None = None) -> jnp.ndarray:
