@@ -1,6 +1,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from maskrcnn_tf2_tpu.config import MaskRCNNConfig
 from maskrcnn_tf2_tpu.export.serialize import export_stablehlo, load_stablehlo
@@ -21,7 +22,10 @@ CFG = MaskRCNNConfig(
 )
 
 
-def test_stablehlo_export_roundtrip(tmp_path):
+@pytest.fixture(scope="module")
+def exported_model():
+    """One init + ONE direct-inference compile shared by both roundtrip
+    tests (each was paying its own full-graph CPU compile)."""
     model = MaskRCNN(CFG)
     images = jnp.zeros((1, 128, 128, 3))
     meta = jnp.asarray(
@@ -31,6 +35,16 @@ def test_stablehlo_export_roundtrip(tmp_path):
         lambda r: model.init({"params": r}, images, meta, train=False)
     )(jax.random.PRNGKey(0))
 
+    @jax.jit
+    def infer(im, me):
+        out = model.apply(variables, im, me, train=False)
+        return out["detections"], out["mrcnn_masks"]
+
+    return variables, infer, meta
+
+
+def test_stablehlo_export_roundtrip(tmp_path, exported_model):
+    variables, infer, meta = exported_model
     path = str(tmp_path / "mrcnn.stablehlo")
     export_stablehlo(CFG, variables, path, batch_size=1)
     fn = load_stablehlo(path)
@@ -38,12 +52,7 @@ def test_stablehlo_export_roundtrip(tmp_path):
     rng_img = jnp.asarray(
         np.random.RandomState(0).rand(1, 128, 128, 3).astype(np.float32) * 255
     )
-    det_direct, masks_direct = jax.jit(
-        lambda im, me: (
-            model.apply(variables, im, me, train=False)["detections"],
-            model.apply(variables, im, me, train=False)["mrcnn_masks"],
-        )
-    )(rng_img, meta)
+    det_direct, masks_direct = infer(rng_img, meta)
     det_loaded, masks_loaded = fn(rng_img, meta)
     assert det_loaded.shape == (1, 8, 6)
     assert masks_loaded.shape == (1, 8, 28, 28, 3)
@@ -69,7 +78,7 @@ def test_export_onnx_is_cleanly_gated(tmp_path):
         export_onnx(None, None, str(tmp_path / "m.onnx"))
 
 
-def test_saved_model_numeric_roundtrip(tmp_path):
+def test_saved_model_numeric_roundtrip(tmp_path, exported_model):
     """jax2tf SavedModel output matches the jitted jax graph numerically
     (the TF leg of the reference's tf->onnx->trt path,
     inference_optimize.py:12-21; TF is available in this image)."""
@@ -79,24 +88,14 @@ def test_saved_model_numeric_roundtrip(tmp_path):
 
     from maskrcnn_tf2_tpu.export.serialize import export_saved_model
 
-    model = MaskRCNN(CFG)
-    images = jnp.zeros((1, 128, 128, 3))
-    meta = jnp.asarray(
-        compose_image_meta(0, (128, 128, 3), (128, 128, 3), (0, 0, 128, 128), 1.0, np.ones(3))
-    )[None]
-    variables = jax.jit(
-        lambda r: model.init({"params": r}, images, meta, train=False)
-    )(jax.random.PRNGKey(0))
-
+    variables, infer, meta = exported_model
     path = str(tmp_path / "savedmodel")
     export_saved_model(CFG, variables, path, batch_size=1)
 
     rng_img = jnp.asarray(
         np.random.RandomState(1).rand(1, 128, 128, 3).astype(np.float32) * 255
     )
-    det_direct = jax.jit(
-        lambda im, me: model.apply(variables, im, me, train=False)["detections"]
-    )(rng_img, meta)
+    det_direct, _ = infer(rng_img, meta)
 
     loaded = tf.saved_model.load(path)
     det_tf, masks_tf = loaded(

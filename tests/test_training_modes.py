@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jit_fast import jit_fast  # tests/ is on sys.path under pytest
+
 from maskrcnn_tf2_tpu.config import MaskRCNNConfig
 from maskrcnn_tf2_tpu.ops.image import compose_image_meta
 from maskrcnn_tf2_tpu.train.train_step import (
@@ -63,7 +65,7 @@ def make_batch(cfg, with_rois=False):
 def test_tune_rpn_model_only_keeps_only_rpn_losses():
     cfg = MaskRCNNConfig(**BASE, tune_rpn_model_only=True)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
-    step = jax.jit(make_train_step(cfg))
+    step = jit_fast(make_train_step(cfg))
     _, losses = step(state, make_batch(cfg), jax.random.PRNGKey(1))
     assert "rpn_class_loss" in losses and "rpn_bbox_loss" in losses
     assert "mrcnn_class_loss" not in losses
@@ -72,7 +74,7 @@ def test_tune_rpn_model_only_keeps_only_rpn_losses():
 def test_external_rois_path():
     cfg = MaskRCNNConfig(**BASE, use_rpn_rois=False, random_rois=32)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
-    step = jax.jit(make_train_step(cfg))
+    step = jit_fast(make_train_step(cfg))
     _, losses = step(state, make_batch(cfg, with_rois=True), jax.random.PRNGKey(1))
     # RPN losses dropped, head losses present and finite
     assert "rpn_class_loss" not in losses
@@ -85,7 +87,7 @@ def test_frozen_backbone_gets_zero_grads():
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     anchors = jnp.asarray(get_anchors(cfg))
 
-    @jax.jit
+    @jit_fast
     def grads_of(params):
         g = jax.grad(
             lambda p: _loss_and_updates(
