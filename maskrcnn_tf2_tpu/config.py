@@ -160,6 +160,16 @@ class MaskRCNNConfig:
     # ---- TPU-native additions (no reference equivalent) ----
     compute_dtype: str = "bfloat16"  # activations dtype on TPU
     mesh_data_axis: str = "data"  # data-parallel mesh axis name
+    mesh_model_axis: str = "model"  # tensor-parallel mesh axis name
+    # Distributed step flavor: "shard_map" = explicit per-shard program with
+    # ONE fused gradient all-reduce (the measured default); "gspmd" = jit the
+    # unmodified global-batch step with `in_shardings` and let XLA's SPMD
+    # partitioner insert collectives (scaling-book recipe). tp_shards > 1
+    # shards the wide FC classifier head (fpn_cls_fc_layers_size, reference
+    # mrcnn_layers.py:1124-1198) column-/row-parallel over the "model" axis —
+    # gspmd mode only.
+    parallel_mode: str = "shard_map"
+    tp_shards: int = 1
     debug_nans: bool = False
     # Non-finite update guard: "loss" checks the scalar total loss (the
     # reference's check_loss_nan semantics, model.py:64-84 — O(1) cost),
@@ -178,6 +188,14 @@ class MaskRCNNConfig:
         assert len(self.rpn_anchor_scales) == len(self.backbone_strides), (
             "one anchor scale per pyramid level"
         )
+        assert self.parallel_mode in ("shard_map", "gspmd")
+        assert self.tp_shards >= 1
+        if self.tp_shards > 1:
+            assert self.parallel_mode == "gspmd", (
+                "tensor parallelism (tp_shards > 1) is implemented via the "
+                "XLA SPMD partitioner — set parallel_mode='gspmd'"
+            )
+            assert self.fpn_cls_fc_layers_size % self.tp_shards == 0
 
     # ---- derived quantities ----
     @property

@@ -125,7 +125,36 @@ def train_model(
     # default whenever a mesh exists; gradient psum rides ICI intra-slice and
     # DCN across slices).
     n_dev = len(jax.devices())
-    if n_dev > 1 and config.batch_size % n_dev == 0:
+    if (
+        config.parallel_mode == "gspmd"
+        and n_dev > 1
+        and n_proc == 1
+        and config.batch_size % max(n_dev // config.tp_shards, 1) == 0
+    ):
+        # XLA-partitioned DP x TP over a (data, model) mesh (parallel/gspmd.py):
+        # the global-batch step is jitted with in_shardings; the partitioner
+        # inserts the collectives (incl. the TP all-reduce of the wide FC head).
+        from maskrcnn_tf2_tpu.parallel.gspmd import (
+            make_gspmd_eval_step,
+            make_gspmd_train_step,
+            make_mesh_2d,
+            shard_global_batch,
+        )
+
+        tp = config.tp_shards
+        assert n_dev % tp == 0, (n_dev, tp)
+        mesh = make_mesh_2d(
+            n_dev // tp, tp, config.mesh_data_axis, config.mesh_model_axis
+        )
+        train_step, state = make_gspmd_train_step(config, mesh, state)
+        eval_step = make_gspmd_eval_step(config, mesh, state)
+        place = lambda b: shard_global_batch(b, mesh, config)
+        print(
+            f"gspmd over {n_dev} devices: mesh "
+            f"({config.mesh_data_axis}={n_dev // tp}, "
+            f"{config.mesh_model_axis}={tp})"
+        )
+    elif n_dev > 1 and config.batch_size % n_dev == 0:
         from maskrcnn_tf2_tpu.parallel.mesh import make_mesh, replicate, shard_batch
         from maskrcnn_tf2_tpu.train.train_step import (
             make_data_parallel_eval_step,
