@@ -59,7 +59,11 @@ from jax.experimental.pallas import tpu as pltpu
 # Patch window tiers, smallest to largest (y, x). x sizes carry +8 slack so
 # the 8-aligned x origin still covers (px - 8 - 1) sample columns; the
 # largest tier covers every box the FPN level formula maps into ~31 px.
-TIERS = ((16, 24), (24, 32), (32, 40))
+# The (8, 16) tier (spans <= 7 px) is the cheapest at 1/3 the DMA bytes of
+# (16, 24) — small boxes land there because the level formula maps a box's
+# on-level scale to ~10-20 px only for boxes at the CENTER of a level's
+# area range.
+TIERS = ((8, 16), (16, 24), (24, 32), (32, 40))
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
@@ -84,7 +88,8 @@ def _ring_depths(tiers, pool, w_max, c, itemsize):
     """
     strip_depth = 2
     strip_bytes = strip_depth * pool * 2 * w_max * c * itemsize
-    for cand in ((8, 6, 4), (6, 4, 3), (4, 3, 2), (3, 2, 2), (2, 2, 2)):
+    for cand in ((12, 8, 6, 4), (8, 6, 4, 3), (6, 4, 3, 2), (4, 3, 2, 2),
+                 (3, 2, 2, 2), (2, 2, 2, 2)):
         depths = tuple(cand[: len(tiers)])
         if len(depths) < len(tiers):
             depths = depths + (2,) * (len(tiers) - len(depths))
