@@ -25,8 +25,16 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 128  # rows processed per step; lanes dimension is N
 
 
-def _nms_kernel(soa_ref, keep_ref, *, n: int, iou_threshold: float, limit: int):
-    """soa_ref: [8, N] f32 in VMEM; keep_ref: [1, N] f32 out (1.0 = kept).
+def _nms_kernel(
+    soa_ref, soat_ref, keep_ref, *, n: int, iou_threshold: float, limit: int
+):
+    """soa_ref: [8, N] f32; soat_ref: [N, 8] f32 (same data transposed);
+    keep_ref: [1, N] f32 out (1.0 = kept).
+
+    The row tile needs its coordinates as [TILE, 1] SUBLANE vectors while
+    the column tiles use [1, TILE] lane vectors; slicing each from its own
+    pre-transposed copy avoids six lane->sublane shuffles per tile (the
+    [1,T]->[T,1] reshape lowers to a cross-lane transpose op each).
 
     ``limit`` > 0 enables early exit: greedy NMS consumes boxes in score
     order, so once ``limit`` boxes are kept no later tile can change the
@@ -40,12 +48,12 @@ def _nms_kernel(soa_ref, keep_ref, *, n: int, iou_threshold: float, limit: int):
     def tile_body(i, _):
         start = i * TILE
         # Row-tile coordinates as [TILE, 1] (sublane) vectors.
-        ry1 = soa_ref[0:1, pl.ds(start, TILE)].reshape(TILE, 1)
-        rx1 = soa_ref[1:2, pl.ds(start, TILE)].reshape(TILE, 1)
-        ry2 = soa_ref[2:3, pl.ds(start, TILE)].reshape(TILE, 1)
-        rx2 = soa_ref[3:4, pl.ds(start, TILE)].reshape(TILE, 1)
-        rarea = soa_ref[4:5, pl.ds(start, TILE)].reshape(TILE, 1)
-        rvalid = soa_ref[5:6, pl.ds(start, TILE)].reshape(TILE, 1)
+        ry1 = soat_ref[pl.ds(start, TILE), 0:1]
+        rx1 = soat_ref[pl.ds(start, TILE), 1:2]
+        ry2 = soat_ref[pl.ds(start, TILE), 2:3]
+        rx2 = soat_ref[pl.ds(start, TILE), 3:4]
+        rarea = soat_ref[pl.ds(start, TILE), 4:5]
+        rvalid = soat_ref[pl.ds(start, TILE), 5:6]
 
         # (a) cross-suppression from the finalized prefix, tile-vs-tile:
         # only columns < start can suppress, so loop over the i finished
@@ -164,8 +172,11 @@ def greedy_keep_pallas(
             _nms_kernel, n=n, iou_threshold=float(iou_threshold), limit=int(limit)
         ),
         out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(soa)
+    )(soa, soa.T)
     return keep[0] > 0.5
