@@ -20,6 +20,26 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
+class _Conv1x1Params(nn.Module):
+    """Parameter holder matching ``nn.Conv(features, (1, 1))``'s tree exactly
+    (``kernel`` [1, 1, in, out] lecun-normal, ``bias`` [out] zeros) so the two
+    RPN prediction convs keep their checkpoint paths while their *application*
+    is fused into one pass over the shared feature (see ``RPNHead``)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self) -> Tuple[Array, Array]:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class RPNHead(nn.Module):
     anchors_per_location: int = 3
     conv_channels: int = 512
@@ -28,24 +48,29 @@ class RPNHead(nn.Module):
     @nn.compact
     def __call__(self, features: List[Array]) -> Tuple[Array, Array, Array]:
         d = self.dtype
+        k = self.anchors_per_location
         shared_conv = nn.Conv(
             self.conv_channels, (3, 3), padding="SAME", dtype=d, name="rpn_conv_shared"
         )
-        logits_conv = nn.Conv(
-            2 * self.anchors_per_location, (1, 1), dtype=d, name="rpn_class_raw"
-        )
-        bbox_conv = nn.Conv(
-            4 * self.anchors_per_location, (1, 1), dtype=d, name="rpn_bbox_pred"
-        )
+        # The class and bbox heads are 1x1 convs over the SAME 512-wide shared
+        # feature — applied separately, each re-reads it from HBM (~1 GB at
+        # P2/b16: the two reads were ~3.4 ms/batch on v5e). Concatenating the
+        # kernels along the output axis makes them ONE conv (one read), then
+        # the outputs split; numerics are identical.
+        kc, bc = _Conv1x1Params(2 * k, self.conv_channels, name="rpn_class_raw")()
+        kb, bb = _Conv1x1Params(4 * k, self.conv_channels, name="rpn_bbox_pred")()
+        w = jnp.concatenate([kc[0, 0], kb[0, 0]], axis=-1).astype(d)  # [C, 6k]
+        bias = jnp.concatenate([bc, bb]).astype(d)  # [6k]
 
         logits_all, bbox_all = [], []
         for f in features:
             b = f.shape[0]
             shared = nn.relu(shared_conv(f.astype(d)))
+            pred = jnp.tensordot(shared, w, axes=[[3], [0]]) + bias  # [B,H,W,6k]
             # [B, H, W, 2k] -> [B, H*W*k, 2]: row-major spatial, ratio fastest —
             # must line up with anchor generation ordering.
-            logits = logits_conv(shared).reshape(b, -1, 2)
-            bbox = bbox_conv(shared).reshape(b, -1, 4)
+            logits = pred[..., : 2 * k].reshape(b, -1, 2)
+            bbox = pred[..., 2 * k :].reshape(b, -1, 4)
             logits_all.append(logits)
             bbox_all.append(bbox)
 

@@ -19,10 +19,19 @@ import jax.numpy as jnp
 
 from maskrcnn_tf2_tpu.ops.boxes import apply_box_deltas, clip_boxes
 from maskrcnn_tf2_tpu.ops.nms import nms_padded_boxes
+from maskrcnn_tf2_tpu.ops.topk import binned_top_k
 
 # Clamp log-size deltas before exp so an untrained/exploding RPN cannot
 # produce inf boxes (standard detectron BBOX_XFORM_CLIP = log(1000/16)).
 _DELTA_CLIP = 4.135166556742356
+
+
+def _on_tpu() -> bool:
+    """Trace-time backend check (matches ops.nms._use_pallas semantics)."""
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 def _proposals_one_image(
@@ -35,16 +44,15 @@ def _proposals_one_image(
     approx_topk: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     pre = min(pre_nms_limit, scores.shape[0])
-    if approx_topk and scores.shape[0] >= 4 * pre:
-        # TPU PartialReduce instead of the full stable sort lax.top_k lowers
-        # to (sort of 262k anchors = 5.3 ms/b16 on v5e, the 3rd-largest op in
-        # the whole inference graph). Expected recall >=0.99 of the true
-        # top-k; misses are at the low-score boundary where NMS keeps none.
-        # Non-TPU backends lower this to exact top_k, so CPU oracle parity
+    if approx_topk and scores.shape[0] >= 4 * pre and _on_tpu():
+        # Two-stage binned top-k (ops/topk.py) instead of the full stable
+        # sort lax.top_k lowers to (sort of 262k anchors = 4.5 ms/b16 on
+        # v5e; lax.approx_max_k silently fell back to the SAME full sort at
+        # k=6000/recall 0.99). Recall ~0.999 of the true top-k; misses are
+        # at the low-score boundary where NMS keeps none. Off-TPU this
+        # branch is not taken, so CPU oracle parity
         # (tests/test_funnel_parity.py) is bit-unchanged.
-        top_scores, top_idx = jax.lax.approx_max_k(
-            scores, pre, recall_target=0.99, aggregate_to_topk=True
-        )
+        top_scores, top_idx = binned_top_k(scores, pre)
     else:
         top_scores, top_idx = jax.lax.top_k(scores, pre)
     top_deltas = jnp.take(deltas, top_idx, axis=0)
