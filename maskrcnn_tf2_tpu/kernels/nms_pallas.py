@@ -55,30 +55,28 @@ def _nms_kernel(
         rarea = soat_ref[pl.ds(start, TILE), 4:5]
         rvalid = soat_ref[pl.ds(start, TILE), 5:6]
 
-        # (a) cross-suppression from the finalized prefix, tile-vs-tile:
-        # only columns < start can suppress, so loop over the i finished
-        # tiles ([TILE, TILE] IoU blocks) instead of one [TILE, N] block —
-        # O(i * TILE^2) work instead of O(TILE * N) per tile.
-        def cross_tile(j, acc):
-            cs = j * TILE
-            cy1 = soa_ref[0:1, pl.ds(cs, TILE)]  # [1, TILE]
-            cx1 = soa_ref[1:2, pl.ds(cs, TILE)]
-            cy2 = soa_ref[2:3, pl.ds(cs, TILE)]
-            cx2 = soa_ref[3:4, pl.ds(cs, TILE)]
-            car = soa_ref[4:5, pl.ds(cs, TILE)]
-            iy1 = jnp.maximum(ry1, cy1)
-            ix1 = jnp.maximum(rx1, cx1)
-            iy2 = jnp.minimum(ry2, cy2)
-            ix2 = jnp.minimum(rx2, cx2)
-            inter = jnp.maximum(iy2 - iy1, 0.0) * jnp.maximum(ix2 - ix1, 0.0)
-            union = rarea + car - inter
-            over = (inter > iou_threshold * union).astype(jnp.float32)
-            kept = keep_ref[0:1, pl.ds(cs, TILE)]  # [1, TILE]
-            return acc + jnp.sum(over * kept, axis=1, keepdims=True)
-
-        cross = jax.lax.fori_loop(
-            0, i, cross_tile, jnp.zeros((TILE, 1), jnp.float32)
-        )  # [TILE, 1]
+        # (a) cross-suppression from the finalized prefix as ONE vectorized
+        # [TILE, N] block. Columns at or beyond `start` have keep == 0 (the
+        # mask is written as tiles finalize), so multiplying by the keep row
+        # restricts to the prefix for free. An earlier version looped over
+        # the i finished [TILE, TILE] blocks ("less work"), but per-block
+        # *op overhead* made tile cost grow linearly — 3x slower end-to-end
+        # when candidates are spatially spread and the early exit fires
+        # late; one full-width VPU block is constant-cost per tile.
+        cy1 = soa_ref[0:1, :]  # [1, N]
+        cx1 = soa_ref[1:2, :]
+        cy2 = soa_ref[2:3, :]
+        cx2 = soa_ref[3:4, :]
+        car = soa_ref[4:5, :]
+        iy1 = jnp.maximum(ry1, cy1)
+        ix1 = jnp.maximum(rx1, cx1)
+        iy2 = jnp.minimum(ry2, cy2)
+        ix2 = jnp.minimum(rx2, cx2)
+        inter = jnp.maximum(iy2 - iy1, 0.0) * jnp.maximum(ix2 - ix1, 0.0)
+        union = rarea + car - inter
+        over = (inter > iou_threshold * union).astype(jnp.float32)  # [TILE, N]
+        kept = keep_ref[0:1, :]  # [1, N]
+        cross = jnp.sum(over * kept, axis=1, keepdims=True)  # [TILE, 1]
         row_alive = rvalid * (cross <= 0.0).astype(jnp.float32)  # [TILE, 1]
 
         # (b) within-tile fixpoint on the diagonal block, recomputed from the

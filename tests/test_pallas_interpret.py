@@ -205,6 +205,41 @@ def test_roi_align_kernel_tiny_levels_padded_for_vmem_tiling():
         )
 
 
+def test_roi_align_grouped_kernel_exact_vs_oracle():
+    """The grouped forward (N >= GROUP_MIN: segment-sorted, block-diagonal
+    contractions, gather-unsorted) must match the gather oracle exactly,
+    including strips, padding ROIs, and every tier — and preserve the
+    original ROI order."""
+    from maskrcnn_tf2_tpu.kernels import roi_align_pallas as rap
+
+    rs = np.random.RandomState(11)
+    b, n = 2, 32  # small N + lowered threshold keeps interpret mode fast
+    y1, x1 = rs.uniform(0, 0.7, (2, b, n))
+    scale = np.exp(rs.uniform(np.log(0.02), np.log(0.6), (b, n)))
+    aspect = np.exp(rs.normal(0, 0.8, (b, n)))
+    h = np.minimum(scale * aspect, 0.95)
+    w = np.minimum(scale / aspect, 0.95)
+    boxes = np.stack(
+        [y1, x1, np.minimum(y1 + h, 1.0), np.minimum(x1 + w, 1.0)], -1
+    ).astype(np.float32)
+    boxes[0, 0] = 0.0  # padding ROI
+    boxes[0, 1] = [0.0, 0.4, 1.0, 0.43]  # tall sliver (strip mode)
+    boxes[0, 2] = [0.4, 0.0, 0.43, 1.0]  # wide sliver (strip mode)
+    boxes[1, 5] = [0.0, 0.0, 1.0, 1.0]  # full frame
+    feats = _pyramid(rs, b=b)
+    bx = jnp.asarray(boxes)
+    old_min = rap.GROUP_MIN
+    rap.GROUP_MIN = n  # force the grouped path at test scale
+    try:
+        out_p = np.asarray(
+            pyramid_roi_align_pallas(feats, bx, 7, (256, 256), interpret=True)
+        )
+    finally:
+        rap.GROUP_MIN = old_min
+    out_g = np.asarray(pyramid_roi_align_gather(feats, bx, 7, (256, 256)))
+    np.testing.assert_allclose(out_p, out_g, atol=3e-5)
+
+
 def test_roi_align_patch_kernel_zero_for_padding_rois():
     rs = np.random.RandomState(4)
     boxes = np.zeros((1, 8, 4), np.float32)
