@@ -23,10 +23,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 128  # rows processed per step; lanes dimension is N
+CHUNK = 512  # prefix-column chunk width (N is padded to a CHUNK multiple)
 
 
 def _nms_kernel(
-    soa_ref, soat_ref, keep_ref, *, n: int, iou_threshold: float, limit: int
+    soa_ref,
+    soat_ref,
+    keep_ref,
+    *,
+    n: int,
+    iou_threshold: float,
+    limit: int,
+    chunk: int,
 ):
     """soa_ref: [8, N] f32; soat_ref: [N, 8] f32 (same data transposed);
     keep_ref: [1, N] f32 out (1.0 = kept).
@@ -55,28 +63,36 @@ def _nms_kernel(
         rarea = soat_ref[pl.ds(start, TILE), 4:5]
         rvalid = soat_ref[pl.ds(start, TILE), 5:6]
 
-        # (a) cross-suppression from the finalized prefix as ONE vectorized
-        # [TILE, N] block. Columns at or beyond `start` have keep == 0 (the
-        # mask is written as tiles finalize), so multiplying by the keep row
-        # restricts to the prefix for free. An earlier version looped over
-        # the i finished [TILE, TILE] blocks ("less work"), but per-block
-        # *op overhead* made tile cost grow linearly — 3x slower end-to-end
-        # when candidates are spatially spread and the early exit fires
-        # late; one full-width VPU block is constant-cost per tile.
-        cy1 = soa_ref[0:1, :]  # [1, N]
-        cx1 = soa_ref[1:2, :]
-        cy2 = soa_ref[2:3, :]
-        cx2 = soa_ref[3:4, :]
-        car = soa_ref[4:5, :]
-        iy1 = jnp.maximum(ry1, cy1)
-        ix1 = jnp.maximum(rx1, cx1)
-        iy2 = jnp.minimum(ry2, cy2)
-        ix2 = jnp.minimum(rx2, cx2)
-        inter = jnp.maximum(iy2 - iy1, 0.0) * jnp.maximum(ix2 - ix1, 0.0)
-        union = rarea + car - inter
-        over = (inter > iou_threshold * union).astype(jnp.float32)  # [TILE, N]
-        kept = keep_ref[0:1, :]  # [1, N]
-        cross = jnp.sum(over * kept, axis=1, keepdims=True)  # [TILE, 1]
+        # (a) cross-suppression from the finalized prefix, in CHUNK-wide
+        # column blocks up to the tile's start. Two failed designs inform
+        # this one (both measured ~4.6 ms/batch on the full-sweep case):
+        # per-finished-TILE [128, 128] blocks drown in per-op overhead
+        # (~16 compute cycles vs ~20 overhead per op), and one full-width
+        # [TILE, N] block wastes >50% of its element work on columns at or
+        # beyond `start` whose keep is still 0. CHUNK columns amortize the
+        # op overhead while touching (almost) only the prefix; keep == 0
+        # masks the sliver of not-yet-finalized columns in the last chunk.
+        def chunk_body(j, acc):
+            cs = j * chunk
+            cy1 = soa_ref[0:1, pl.ds(cs, chunk)]  # [1, chunk]
+            cx1 = soa_ref[1:2, pl.ds(cs, chunk)]
+            cy2 = soa_ref[2:3, pl.ds(cs, chunk)]
+            cx2 = soa_ref[3:4, pl.ds(cs, chunk)]
+            car = soa_ref[4:5, pl.ds(cs, chunk)]
+            iy1 = jnp.maximum(ry1, cy1)
+            ix1 = jnp.maximum(rx1, cx1)
+            iy2 = jnp.minimum(ry2, cy2)
+            ix2 = jnp.minimum(rx2, cx2)
+            inter = jnp.maximum(iy2 - iy1, 0.0) * jnp.maximum(ix2 - ix1, 0.0)
+            union = rarea + car - inter
+            over = (inter > iou_threshold * union).astype(jnp.float32)
+            kept = keep_ref[0:1, pl.ds(cs, chunk)]  # [1, chunk]
+            return acc + jnp.sum(over * kept, axis=1, keepdims=True)
+
+        num_chunks = (start + chunk - 1) // chunk  # cover every col < start
+        cross = jax.lax.fori_loop(
+            0, num_chunks, chunk_body, jnp.zeros((TILE, 1), jnp.float32)
+        )  # [TILE, 1]
         row_alive = rvalid * (cross <= 0.0).astype(jnp.float32)  # [TILE, 1]
 
         # (b) within-tile fixpoint on the diagonal block, recomputed from the
@@ -105,13 +121,22 @@ def _nms_kernel(
 
         def body(state):
             it, keep_t, _ = state
-            # suppressed[c] = any_r keep_t[r] & g[r, c]
-            suppressed = jnp.sum(keep_t * g, axis=0, keepdims=True)  # [1, TILE]
-            new_keep = row_alive.reshape(1, TILE) * (suppressed <= 0.0).astype(
-                jnp.float32
-            )
-            new_keep = new_keep.reshape(TILE, 1)
-            return it + 1, new_keep, jnp.any(new_keep != keep_t)
+            # 4 settle steps per convergence check: the `changed` reduction
+            # is a vector->scalar sync each trip, and real funnel boxes have
+            # deep suppression chains (stacks of near-identical boxes) —
+            # checking every step made the fixpoint the kernel's hot spot.
+            # Extra steps past the fixpoint are idempotent, so correctness
+            # is unaffected.
+            k0 = keep_t
+            for _ in range(4):
+                # suppressed[c] = any_r keep_t[r] & g[r, c]
+                suppressed = jnp.sum(keep_t * g, axis=0, keepdims=True)  # [1, T]
+                keep_t = (
+                    row_alive.reshape(1, TILE) * (suppressed <= 0.0).astype(
+                        jnp.float32
+                    )
+                ).reshape(TILE, 1)
+            return it + 4, keep_t, jnp.any(keep_t != k0)
 
         _, keep_t, _ = jax.lax.while_loop(
             cond, body, (jnp.int32(0), row_alive, jnp.bool_(True))
@@ -167,7 +192,14 @@ def greedy_keep_pallas(
     )  # [8, N]
     keep = pl.pallas_call(
         functools.partial(
-            _nms_kernel, n=n, iou_threshold=float(iou_threshold), limit=int(limit)
+            _nms_kernel,
+            n=n,
+            iou_threshold=float(iou_threshold),
+            limit=int(limit),
+            # prefix chunks must tile N exactly; callers at proposal scale
+            # pad to a CHUNK multiple (ops/nms.py), small/test inputs fall
+            # back to TILE-wide chunks
+            chunk=CHUNK if n % CHUNK == 0 else TILE,
         ),
         out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
         in_specs=[

@@ -152,11 +152,13 @@ def non_max_suppression(
 
     if _use_pallas():
         from maskrcnn_tf2_tpu.kernels.nms_pallas import (
-            TILE as P_TILE,
+            CHUNK as P_CHUNK,
             greedy_keep_pallas,
         )
 
-        pad = (-n) % P_TILE
+        # pad to the kernel's prefix-chunk width so it can use wide
+        # (overhead-amortizing) column blocks; padding rows are invalid
+        pad = (-n) % P_CHUNK
         if pad:
             boxes_s = jnp.concatenate([boxes_s, jnp.zeros((pad, 4), boxes_s.dtype)])
             valid_s = jnp.concatenate([valid_s, jnp.zeros((pad,), bool)])
