@@ -207,10 +207,21 @@ class MaskRCNN(nn.Module):
 
         # ---------------- inference ----------------
         proposals, prop_valid = self._proposals(rpn_probs, rpn_bbox, train=False)
-        pooled = pyramid_roi_align(
+        # deferred-unsort ROIAlign: the classifier is per-ROI (order
+        # invariant), so on the TPU grouped-kernel path the head runs on the
+        # kernel's segment-sorted padded layout and only the small per-ROI
+        # outputs are unsorted (saves the [B*N, P, P, C] feature gather)
+        from maskrcnn_tf2_tpu.ops.roi_align import pyramid_roi_align_deferred
+
+        pooled, unsort = pyramid_roi_align_deferred(
             mrcnn_feats, proposals, cfg.pool_size, cfg.image_shape
         )
         logits, probs, deltas = self.classifier(pooled, train_bn=False)
+        if unsort is not None:
+            probs = jnp.take_along_axis(probs, unsort[:, :, None], axis=1)
+            deltas = jnp.take_along_axis(
+                deltas, unsort[:, :, None, None], axis=1
+            )
 
         meta = parse_image_meta(image_meta)
         from maskrcnn_tf2_tpu.ops.image import norm_window

@@ -329,3 +329,46 @@ def pyramid_roi_align(
             features, boxes, pool_size, image_shape, denominator
         )
     return pyramid_roi_align_gather(features, boxes, pool_size, image_shape, denominator)
+
+
+def pyramid_roi_align_deferred(
+    features: Sequence[jnp.ndarray],
+    boxes: jnp.ndarray,
+    pool_size: int,
+    image_shape: Sequence[int],
+    denominator: float = 244.0,
+):
+    """Inference-only variant returning ``(pooled, unsort_slot_or_None)``.
+
+    On the TPU Pallas grouped path the pooled features stay in the kernel's
+    segment-sorted padded layout and ``slot [B, N]`` is returned so callers
+    can defer the unsort past their per-ROI heads (the feature-sized unsort
+    gather was ~2.8 ms/batch at 16k ROIs; the head outputs are ~200x
+    smaller). Everywhere else ``slot is None`` and ``pooled`` is already in
+    original ROI order with exactly N rows.
+    """
+    env = os.environ.get("MASKRCNN_TPU_ROIALIGN", "").lower()
+    if env in ("gather", "matmul"):
+        return (
+            pyramid_roi_align(features, boxes, pool_size, image_shape, denominator),
+            None,
+        )
+    if env != "pallas":
+        try:
+            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        except Exception:
+            on_tpu = False
+        if not on_tpu:
+            return (
+                pyramid_roi_align(
+                    features, boxes, pool_size, image_shape, denominator
+                ),
+                None,
+            )
+    from maskrcnn_tf2_tpu.kernels.roi_align_pallas import (
+        pyramid_roi_align_pallas_deferred,
+    )
+
+    return pyramid_roi_align_pallas_deferred(
+        features, boxes, pool_size, image_shape, denominator
+    )

@@ -240,6 +240,51 @@ def test_roi_align_grouped_kernel_exact_vs_oracle():
     np.testing.assert_allclose(out_p, out_g, atol=3e-5)
 
 
+def test_roi_align_deferred_unsort_matches_regular():
+    """pyramid_roi_align_pallas_deferred returns the sorted layout + slot
+    map; unsorting by hand must reproduce the regular (in-order) grouped
+    forward exactly, and every real ROI's slot must be in range."""
+    from maskrcnn_tf2_tpu.kernels import roi_align_pallas as rap
+    from maskrcnn_tf2_tpu.kernels.roi_align_pallas import (
+        pyramid_roi_align_pallas_deferred,
+    )
+
+    rs = np.random.RandomState(7)
+    b, n = 2, 32
+    y1, x1 = rs.uniform(0, 0.7, (2, b, n))
+    s = np.exp(rs.uniform(np.log(0.02), np.log(0.6), (b, n)))
+    boxes = np.stack(
+        [y1, x1, np.minimum(y1 + s, 1.0), np.minimum(x1 + s, 1.0)], -1
+    ).astype(np.float32)
+    boxes[1, 3] = 0.0  # padding ROI
+    feats = _pyramid(rs, b=b)
+    bx = jnp.asarray(boxes)
+    old_min = rap.GROUP_MIN
+    rap.GROUP_MIN = n
+    try:
+        out_ref = np.asarray(
+            pyramid_roi_align_pallas(feats, bx, 7, (256, 256), interpret=True)
+        )
+        out_s, slot = pyramid_roi_align_pallas_deferred(
+            feats, bx, 7, (256, 256), interpret=True
+        )
+    finally:
+        rap.GROUP_MIN = old_min
+    assert slot is not None and slot.shape == (b, n)
+    assert out_s.shape[1] >= n
+    unsorted = np.asarray(
+        jnp.take_along_axis(out_s, slot[:, :, None, None, None], axis=1)
+    )
+    np.testing.assert_allclose(unsorted, out_ref, atol=0)
+
+    # below GROUP_MIN: falls back to the in-order forward, slot is None
+    out_small, slot_small = pyramid_roi_align_pallas_deferred(
+        feats, bx, 7, (256, 256), interpret=True
+    )
+    assert slot_small is None
+    np.testing.assert_allclose(np.asarray(out_small), out_ref, atol=0)
+
+
 def test_roi_align_patch_kernel_zero_for_padding_rois():
     rs = np.random.RandomState(4)
     boxes = np.zeros((1, 8, 4), np.float32)
