@@ -66,16 +66,19 @@ class _StemConvS2D(nn.Module):
 
     A stride-2 7x7 conv over ci=3 runs at <10% MFU on TPU (the MXU pads the
     3-channel contraction; measured 5.6 ms/batch of the R101@1024 inference
-    step vs a ~0.5 ms roofline). Rewriting input pixels as 2x2 blocks makes
-    it a stride-1 4x4 conv over 4*ci channels — identical math with the
-    kernel zero-padded 7->8 and re-blocked the same way:
+    step vs a ~0.5 ms roofline). Blocking W-pairs into channels makes it a
+    [7, 4] conv over 2*ci channels with stride (2, 1) — identical math with
+    the kernel zero-padded 7->8 along dx and re-blocked the same way:
 
         out[r,c] = sum_{dy,dx} in[2r+dy-2, 2c+dx-2] * W[dy, dx]
-                 = sum_{jy,jx,py,px} blocks[r-1+jy, c-1+jx, (py,px)]
-                                     * Wpad[2jy+py, 2jx+px]
+                 = sum_{dy,jx,px} xc[2r+dy-2, c-1+jx, (px)] * Wpad[dy, 2jx+px]
 
-    (dy = 2jy+py with Wpad the 8x8 zero-pad of W, so the dy=7 row/col
-    contributes nothing; block pad (1,2) reproduces SAME's (2,3) exactly.)
+    Only W is blocked: the [B,H,W,ci] -> [B,H,W/2,2ci] reshape is a pure
+    row-major view (FREE — no relayout), while blocking H too needs a real
+    transpose that XLA materializes as ~4 ms/batch of copies (measured:
+    full 2x2 s2d LOST 1.5 img/s end-to-end despite a faster conv). H's
+    stride 2 stays a native conv stride. W pad (1,2) reproduces SAME's
+    (2,3): dx = 2jx+px with the dx=7 kernel column zeroed.
     """
 
     features: int
@@ -90,25 +93,16 @@ class _StemConvS2D(nn.Module):
             (7, 7, ci, self.features),
         )
         wpad = jnp.pad(
-            kernel.astype(jnp.float32), ((0, 1), (0, 1), (0, 0), (0, 0))
-        )  # [8, 8, ci, F]
-        w = (
-            wpad.reshape(4, 2, 4, 2, ci, self.features)
-            .transpose(0, 2, 1, 3, 4, 5)
-            .reshape(4, 4, 4 * ci, self.features)
-            .astype(self.dtype)
-        )
+            kernel.astype(jnp.float32), ((0, 0), (0, 1), (0, 0), (0, 0))
+        )  # [7, 8, ci, F]
+        w = wpad.reshape(7, 4, 2 * ci, self.features).astype(self.dtype)
         b, h, wd, _ = x.shape
-        xb = (
-            x.reshape(b, h // 2, 2, wd // 2, 2, ci)
-            .transpose(0, 1, 3, 2, 4, 5)
-            .reshape(b, h // 2, wd // 2, 4 * ci)
-        )
+        xc = x.reshape(b, h, wd // 2, 2 * ci)
         return jax.lax.conv_general_dilated(
-            xb,
+            xc,
             w,
-            (1, 1),
-            ((1, 2), (1, 2)),
+            (2, 1),
+            ((2, 3), (1, 2)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 

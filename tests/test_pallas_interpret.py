@@ -250,13 +250,17 @@ def test_roi_align_deferred_unsort_matches_regular():
     )
 
     rs = np.random.RandomState(7)
-    b, n = 2, 32
+    # tiny on purpose: tier/strip coverage belongs to
+    # test_roi_align_grouped_kernel_exact_vs_oracle; this only checks the
+    # deferred-unsort plumbing (slot map + fallback), and interpret-mode
+    # grouped runs cost ~1 min each on the one-core box
+    b, n = 1, 16
     y1, x1 = rs.uniform(0, 0.7, (2, b, n))
-    s = np.exp(rs.uniform(np.log(0.02), np.log(0.6), (b, n)))
+    s = np.exp(rs.uniform(np.log(0.05), np.log(0.5), (b, n)))
     boxes = np.stack(
         [y1, x1, np.minimum(y1 + s, 1.0), np.minimum(x1 + s, 1.0)], -1
     ).astype(np.float32)
-    boxes[1, 3] = 0.0  # padding ROI
+    boxes[0, 3] = 0.0  # padding ROI
     feats = _pyramid(rs, b=b)
     bx = jnp.asarray(boxes)
     old_min = rap.GROUP_MIN

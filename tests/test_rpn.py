@@ -49,3 +49,23 @@ def test_fused_pred_conv_matches_separate_convs():
     )
     # param tree unchanged: both pred convs keep their nn.Conv-style leaves
     assert kc.shape == (1, 1, 32, 6) and kb.shape == (1, 1, 32, 12)
+
+
+def test_fc_on_pooled_matches_flatten_dense():
+    """_FCOnPooled (dot_general over (P,P,C), no big-tensor flatten) must be
+    param-compatible with nn.Dense on the flattened input and numerically
+    identical in f32."""
+    import flax.linen as nn
+
+    from maskrcnn_tf2_tpu.models.heads import _FCOnPooled
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 5, 7, 7, 12).astype(np.float32))
+    mod = _FCOnPooled(32, dtype=jnp.float32)
+    v = mod.init(jax.random.PRNGKey(0), x)
+    assert v["params"]["kernel"].shape == (7 * 7 * 12, 32)
+    out = mod.apply(v, x)
+
+    dense = nn.Dense(32, dtype=jnp.float32)
+    ref = dense.apply(v, x.reshape(2 * 5, -1)).reshape(2, 5, 32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
