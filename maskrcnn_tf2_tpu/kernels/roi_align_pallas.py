@@ -241,6 +241,7 @@ def _fwd_kernel(
     batch: int,
     level_hw: tuple,  # storage dims (padded to >= 8) — DMA extents
     level_h_orig: tuple,  # original level heights — strip sampling scale
+    flat_bc: bool = False,  # feats are [H, W, B*C] (bitcast of conv layout)
 ):
     n_levels = len(level_hw)
     n_tiers = len(tiers)
@@ -268,16 +269,33 @@ def _fwd_kernel(
         row0 = jnp.clip(jnp.floor(ys_r).astype(jnp.int32), 0, max(h - 2, 0))
         return row0, ys_r - row0.astype(jnp.float32)
 
+    c_feat = out_ref.shape[-1]
+
     def patch_dma(bb, st, t, slot_i, lvl):
+        # When flat_bc, feats are [H, W, B*C] — the row-major view of the
+        # conv output's native {3,0,2,1} layout, so the host-side
+        # transpose+reshape feeding the kernel is a free bitcast (a
+        # [B,H,W,C] operand forced XLA to emit a 1.6 ms/batch relayout copy
+        # of P2 before every pallas_call). The image is picked by a
+        # lane-dim slice at bb*C (128-aligned since C % 128 == 0; a [B]
+        # sublane slice of extent 1 is rejected by Mosaic).
         h, w = level_hw[lvl]
         py, px = min(tiers[t][0], h), min(tiers[t][1], w)
-        return pltpu.make_async_copy(
-            feats[lvl].at[
+        if flat_bc:
+            src = feats[lvl].at[
+                pl.ds(y_start_ref[st], py),
+                pl.ds(pl.multiple_of(x_start_ref[st], 8), px),
+                pl.ds(pl.multiple_of(bb * c_feat, 128), c_feat),
+            ]
+        else:
+            src = feats[lvl].at[
                 bb,
                 pl.ds(y_start_ref[st], py),
                 pl.ds(pl.multiple_of(x_start_ref[st], 8), px),
                 :,
-            ],
+            ]
+        return pltpu.make_async_copy(
+            src,
             patches[t].at[slot_i, pl.ds(0, py), pl.ds(0, px), :],
             psems[t].at[slot_i],
         )
@@ -285,8 +303,14 @@ def _fwd_kernel(
     def strip_dma(bb, st, row, slot_i, lvl):
         w = level_hw[lvl][1]
         row0, _ = strip_row(st, row, level_h_orig[lvl])
+        if flat_bc:
+            src = feats[lvl].at[
+                pl.ds(row0, 2), :, pl.ds(pl.multiple_of(bb * c_feat, 128), c_feat)
+            ]
+        else:
+            src = feats[lvl].at[bb, pl.ds(row0, 2), :, :]
         return pltpu.make_async_copy(
-            feats[lvl].at[bb, pl.ds(row0, 2), :, :],
+            src,
             strips.at[slot_i, row, :, pl.ds(0, w), :],
             ssem.at[slot_i, row],
         )
@@ -477,6 +501,7 @@ def _fwd_kernel_grouped(
     batch: int,
     level_hw: tuple,  # storage dims (padded to >= 8)
     level_h_orig: tuple,
+    flat_bc: bool = False,  # feats are [H, W, B*C] (bitcast of conv layout)
 ):
     """Grouped forward: one grid step pools GROUP same-(level, mode) ROIs.
 
@@ -526,16 +551,25 @@ def _fwd_kernel_grouped(
         return row0, ys_r - row0.astype(jnp.float32)
 
     def gpatch_dma(bb, st, t, slot_i, g, lvl):
+        # when flat_bc, feats are [H, W, B*C] — see _fwd_kernel.patch_dma
         h, w = level_hw[lvl]
         py_t, px_t = tiers[t]
         py, px = min(py_t, h), min(px_t, w)
-        return pltpu.make_async_copy(
-            feats[lvl].at[
+        if flat_bc:
+            src = feats[lvl].at[
+                pl.ds(y_start_ref[st], py),
+                pl.ds(pl.multiple_of(x_start_ref[st], 8), px),
+                pl.ds(pl.multiple_of(bb * c, 128), c),
+            ]
+        else:
+            src = feats[lvl].at[
                 bb,
                 pl.ds(y_start_ref[st], py),
                 pl.ds(pl.multiple_of(x_start_ref[st], 8), px),
                 :,
-            ],
+            ]
+        return pltpu.make_async_copy(
+            src,
             patches[t].at[slot_i, pl.ds(g * py_t, py), pl.ds(0, px), :],
             psems[t].at[slot_i, g],
         )
@@ -551,8 +585,14 @@ def _fwd_kernel_grouped(
     def strip_dma(bb, st, row, slot_i, lvl):
         w = level_hw[lvl][1]
         row0, _ = strip_row(st, row, level_h_orig[lvl])
+        if flat_bc:
+            src = feats[lvl].at[
+                pl.ds(row0, 2), :, pl.ds(pl.multiple_of(bb * c, 128), c)
+            ]
+        else:
+            src = feats[lvl].at[bb, pl.ds(row0, 2), :, :]
         return pltpu.make_async_copy(
-            feats[lvl].at[bb, pl.ds(row0, 2), :, :],
+            src,
             strips.at[slot_i, row, :, pl.ds(0, w), :],
             ssem.at[slot_i, row],
         )
@@ -737,6 +777,7 @@ def _grouped_fwd_impl(
     )
     s_ys, s_xs, s_y1f, s_mode, s_dy, s_ym, s_xm, s_wm = s_geo
 
+    flat_bc = c % 128 == 0
     out_sorted = pl.pallas_call(
         functools.partial(
             _fwd_kernel_grouped,
@@ -750,6 +791,7 @@ def _grouped_fwd_impl(
             batch=bsz,
             level_hw=level_hw_s,
             level_h_orig=tuple(h for h, _ in level_hw),
+            flat_bc=flat_bc,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,
@@ -797,7 +839,17 @@ def _grouped_fwd_impl(
         s_y1f.reshape(-1),
         s_mode.reshape(-1),
         s_dy.reshape(-1),
-        *features,
+        # [H, W, B*C] — see _pyramid_fwd_impl
+        *(
+            [
+                jnp.transpose(f, (1, 2, 0, 3)).reshape(
+                    f.shape[1], f.shape[2], bsz * c
+                )
+                for f in features
+            ]
+            if flat_bc
+            else features
+        ),
         s_ym,
         s_xm,
         s_wm,
@@ -967,6 +1019,7 @@ def _pyramid_fwd_impl(features, boxes, pool_size, image_shape, denominator, inte
         tiers, p, w_max, c, jnp.dtype(features[0].dtype).itemsize
     )
 
+    flat_bc = c % 128 == 0
     return pl.pallas_call(
         functools.partial(
             _fwd_kernel,
@@ -978,6 +1031,7 @@ def _pyramid_fwd_impl(features, boxes, pool_size, image_shape, denominator, inte
             batch=bsz,
             level_hw=level_hw_s,
             level_h_orig=tuple(h for h, _ in level_hw),
+            flat_bc=flat_bc,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,
@@ -1012,7 +1066,19 @@ def _pyramid_fwd_impl(features, boxes, pool_size, image_shape, denominator, inte
         y1f.reshape(-1),
         mode.reshape(-1),
         dy.reshape(-1),
-        *features,
+        # [H, W, B*C]: row-major view of the conv outputs' native
+        # {3,0,2,1} layout -> the transpose is a bitcast, where a [B,H,W,C]
+        # operand forced a real relayout copy (1.6 ms/batch for P2 at b16)
+        *(
+            [
+                jnp.transpose(f, (1, 2, 0, 3)).reshape(
+                    f.shape[1], f.shape[2], bsz * c
+                )
+                for f in features
+            ]
+            if flat_bc
+            else features
+        ),
         ymat,
         xmat,
         wmat,

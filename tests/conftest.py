@@ -21,6 +21,16 @@ import jax  # noqa: E402
 # backend has been initialized yet.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache (keyed on optimized HLO + flags, so changed code
+# still recompiles): the end-to-end train-step fixture alone is ~10 min of
+# one-core XLA:CPU compile per run without it. Separate dir from the TPU
+# cache to keep eviction behavior independent.
+from maskrcnn_tf2_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable(
+    os.path.expanduser("~/.cache/maskrcnn_tf2_tpu/xla_cpu_tests")
+)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -289,6 +289,41 @@ def test_roi_align_deferred_unsort_matches_regular():
     np.testing.assert_allclose(np.asarray(out_small), out_ref, atol=0)
 
 
+def test_roi_align_flat_bc_layout_exact():
+    """C % 128 == 0 switches the kernels to the [H, W, B*C] feature layout
+    (lane-dim image slicing; free bitcast of the conv output layout on
+    TPU) — must match the gather oracle exactly, per-ROI AND grouped, with
+    batch > 1 so the lane offset b*C is actually exercised."""
+    from maskrcnn_tf2_tpu.kernels import roi_align_pallas as rap
+
+    rs = np.random.RandomState(9)
+    b, n = 2, 10
+    y1, x1 = rs.uniform(0, 0.6, (2, b, n))
+    s = np.exp(rs.uniform(np.log(0.05), np.log(0.4), (b, n)))
+    boxes = np.stack(
+        [y1, x1, np.minimum(y1 + s, 1.0), np.minimum(x1 + s, 1.0)], -1
+    ).astype(np.float32)
+    feats = [
+        jnp.asarray(rs.randn(b, sz, sz, 128).astype(np.float32))
+        for sz in (32, 16, 8, 8)
+    ]
+    bx = jnp.asarray(boxes)
+    out_g = np.asarray(pyramid_roi_align_gather(feats, bx, 7, (128, 128)))
+    out_p = np.asarray(
+        pyramid_roi_align_pallas(feats, bx, 7, (128, 128), interpret=True)
+    )
+    np.testing.assert_allclose(out_p, out_g, atol=3e-5)
+    old_min = rap.GROUP_MIN
+    rap.GROUP_MIN = n
+    try:
+        out_grp = np.asarray(
+            pyramid_roi_align_pallas(feats, bx, 7, (128, 128), interpret=True)
+        )
+    finally:
+        rap.GROUP_MIN = old_min
+    np.testing.assert_allclose(out_grp, out_g, atol=3e-5)
+
+
 def test_roi_align_patch_kernel_zero_for_padding_rois():
     rs = np.random.RandomState(4)
     boxes = np.zeros((1, 8, 4), np.float32)
