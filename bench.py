@@ -79,10 +79,11 @@ def main():
     on_tpu = any(d.platform == "tpu" for d in jax.devices()) or "TPU" in str(dev)
     peak = _peak_flops(dev)
     if on_tpu:
-        # b16 measured +8% img/s over b8 (amortizes the per-batch detection
-        # tail); the reference's TRT tables are b1 latency — throughput/chip
-        # is the honest comparison axis either way.
-        image_size, batch, backbone = 1024, 16, "resnet101"
+        # Batch sweep (v5e, R101@1024): b8 115 < b16 129.7 < b32 140.8 img/s
+        # (b48 OOMs 16 GB HBM) — larger batches amortize the per-batch
+        # detection tail; the reference's TRT tables are b1 latency, so
+        # throughput/chip is the honest comparison axis either way.
+        image_size, batch, backbone = 1024, 32, "resnet101"
     else:  # CPU smoke fallback so the script always produces a line
         image_size, batch, backbone = 256, 1, "resnet18"
 

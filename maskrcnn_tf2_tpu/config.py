@@ -96,6 +96,12 @@ class MaskRCNNConfig:
     # the reference's tf.nn.top_k semantics are preserved off-TPU. Only
     # kicks in when anchors >= 4x pre_nms_limit.
     proposal_approx_topk: bool = True
+    # Slim RPN inference funnel (models/rpn.py mode='slim'): per-anchor fused
+    # (fg-bg logit diff, deltas) rows; score ORDER — the only thing proposal
+    # generation consumes — is preserved exactly (sigmoid is monotone).
+    # TPU-only at trace time (models/mask_rcnn.py::_rpn_slim_enabled); the
+    # CPU oracle path is bit-unchanged.
+    rpn_slim_inference: bool = True
 
     # ---- detection (reference config.py:106-112) ----
     detection_min_confidence: float = 0.7

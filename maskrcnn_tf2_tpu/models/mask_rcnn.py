@@ -40,6 +40,26 @@ def _dtype_of(config: MaskRCNNConfig):
     return jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
 
 
+def _rpn_slim_enabled() -> bool:
+    """Trace-time gate for the slim RPN inference funnel (models/rpn.py).
+
+    Default: on TPU only, so every CPU oracle test exercises the dense path
+    bit-unchanged (same pattern as ops.proposal approx_topk and the Pallas
+    kernel gates). Env override MASKRCNN_TPU_RPN=slim|dense forces either
+    (tests force ``slim`` on CPU to pin slim-vs-dense equivalence)."""
+    import os
+
+    env = os.environ.get("MASKRCNN_TPU_RPN", "").lower()
+    if env == "slim":
+        return True
+    if env == "dense":
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 class MaskRCNN(nn.Module):
     """The flagship detector. ``__call__(images, image_meta, gt..., train)``.
 
@@ -104,7 +124,7 @@ class MaskRCNN(nn.Module):
             rpn_logits, rpn_probs, rpn_bbox = jax.tree.map(
                 jax.lax.stop_gradient, (rpn_logits, rpn_probs, rpn_bbox)
             )
-        return mrcnn_feats, rpn_logits, rpn_probs, rpn_bbox, train_bn
+        return rpn_feats, mrcnn_feats, rpn_logits, rpn_probs, rpn_bbox, train_bn
 
     def _proposals(self, rpn_probs, rpn_bbox, train: bool):
         cfg = self.config
@@ -132,9 +152,9 @@ class MaskRCNN(nn.Module):
         train: bool = False,
     ) -> Dict[str, Array]:
         cfg = self.config
-        (mrcnn_feats, rpn_logits, rpn_probs, rpn_bbox, train_bn) = self.backbone_fpn_rpn(
-            images, train
-        )
+        (
+            rpn_feats, mrcnn_feats, rpn_logits, rpn_probs, rpn_bbox, train_bn
+        ) = self.backbone_fpn_rpn(images, train)
 
         out: Dict[str, Array] = {
             "rpn_logits": rpn_logits,
@@ -206,7 +226,26 @@ class MaskRCNN(nn.Module):
             return out
 
         # ---------------- inference ----------------
-        proposals, prop_valid = self._proposals(rpn_probs, rpn_bbox, train=False)
+        if cfg.rpn_slim_inference and _rpn_slim_enabled():
+            # Slim funnel: one fused (rank, deltas) row per anchor — see
+            # models/rpn.py mode='slim'. The dense rpn_logits/probs/bbox in
+            # `out` stay available; XLA dead-code-eliminates them when the
+            # caller only fetches detections/masks (Predictor, export, bench).
+            rank, p5 = self.rpn(rpn_feats, mode="slim")
+            from maskrcnn_tf2_tpu.ops.proposal import generate_proposals_slim
+
+            proposals, prop_valid = generate_proposals_slim(
+                rank,
+                p5,
+                jnp.asarray(get_anchors(cfg)),
+                rpn_bbox_std=cfg.rpn_bbox_std_dev,
+                pre_nms_limit=cfg.pre_nms_limit,
+                proposal_count=cfg.post_nms_rois(False),
+                nms_threshold=cfg.rpn_nms_threshold,
+                approx_topk=cfg.proposal_approx_topk,
+            )
+        else:
+            proposals, prop_valid = self._proposals(rpn_probs, rpn_bbox, train=False)
         # deferred-unsort ROIAlign: the classifier is per-ROI (order
         # invariant), so on the TPU grouped-kernel path the head runs on the
         # kernel's segment-sorted padded layout and only the small per-ROI

@@ -110,3 +110,71 @@ def generate_proposals(
         approx_topk=approx_topk,
     )
     return jax.vmap(fn, in_axes=(0, 0, None))(scores, deltas, anchors)
+
+
+def _proposals_one_image_slim(
+    rank: jnp.ndarray,  # [A] f32 fg-bg logit diff (monotone in fg prob)
+    p5: jnp.ndarray,  # [A, 5] (diff, dy, dx, dh, dw) compute-dtype
+    anchors: jnp.ndarray,  # [A, 4] normalized
+    std: jnp.ndarray,  # [4] f32
+    pre_nms_limit: int,
+    proposal_count: int,
+    nms_threshold: float,
+    approx_topk: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    pre = min(pre_nms_limit, rank.shape[0])
+    if approx_topk and rank.shape[0] >= 4 * pre and _on_tpu():
+        top_scores, top_idx = binned_top_k(rank, pre)
+    else:
+        top_scores, top_idx = jax.lax.top_k(rank, pre)
+    # ONE row gather fetches score + deltas together (the dense path gathers
+    # deltas and anchors from two [A, ...] f32 tensors).
+    rows = jnp.take(p5, top_idx, axis=0)  # [pre, 5]
+    top_deltas = rows[:, 1:5].astype(jnp.float32) * std
+    top_anchors = jnp.take(anchors, top_idx, axis=0)
+
+    top_deltas = jnp.clip(top_deltas, -_DELTA_CLIP, _DELTA_CLIP)
+    boxes = apply_box_deltas(top_anchors, top_deltas)
+    boxes = clip_boxes(boxes, jnp.array([0.0, 0.0, 1.0, 1.0], boxes.dtype))
+    out_boxes, _, out_valid = nms_padded_boxes(
+        boxes, top_scores, proposal_count, nms_threshold, presorted=True
+    )
+    return out_boxes, out_valid
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "pre_nms_limit", "proposal_count", "nms_threshold", "approx_topk"
+    ),
+)
+def generate_proposals_slim(
+    rank: jnp.ndarray,  # [B, A] f32 fg-bg logit diff
+    p5: jnp.ndarray,  # [B, A, 5] fused (diff, deltas) rows (bf16 ok)
+    anchors: jnp.ndarray,  # [A, 4] normalized
+    rpn_bbox_std: Tuple[float, ...],
+    pre_nms_limit: int,
+    proposal_count: int,
+    nms_threshold: float,
+    approx_topk: bool = False,
+):
+    """``generate_proposals`` on the slim RPN form (models/rpn.py mode='slim').
+
+    Ranking by the fg-bg logit difference is order-equivalent to ranking by
+    softmax fg prob (sigmoid is strictly monotone); top-k, greedy NMS and the
+    returned proposals only ever consume score ORDER, so the decoded boxes
+    match the dense path up to bf16 rounding of (fg - bg). Deltas convert to
+    f32 only AFTER the top-k gather — bf16 -> f32 is lossless, so delta
+    decoding is bit-identical to the dense path.
+    """
+    rank = jax.lax.stop_gradient(rank)
+    p5 = jax.lax.stop_gradient(p5)
+    std = jnp.asarray(rpn_bbox_std, jnp.float32)
+    fn = partial(
+        _proposals_one_image_slim,
+        pre_nms_limit=pre_nms_limit,
+        proposal_count=proposal_count,
+        nms_threshold=nms_threshold,
+        approx_topk=approx_topk,
+    )
+    return jax.vmap(fn, in_axes=(0, 0, None, None))(rank, p5, anchors, std)

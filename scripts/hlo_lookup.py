@@ -26,7 +26,9 @@ from maskrcnn_tf2_tpu.utils.compile_cache import enable as enable_cache
 
 def main():
     names = [a for a in sys.argv[1:] if not a.isdigit()]
-    batch, size, backbone = 16, 1024, "resnet101"
+    digits = [int(a) for a in sys.argv[1:] if a.isdigit()]
+    batch = digits[0] if digits else 16
+    size, backbone = 1024, "resnet101"
 
     enable_cache()
     cfg = MaskRCNNConfig(
