@@ -126,7 +126,12 @@ def main():
     t0 = time.perf_counter()
     for _ in range(iters):
         d, m = compiled_infer(images, meta)
-    jax.block_until_ready((d, m))
+    # End with a host-side FETCH of the last iteration's output: on the
+    # axon tunnel, block_until_ready alone can resolve before the device
+    # drains the dispatch queue (observed ~10x under-measurement on the
+    # train step). device_get is a pure transfer — no new computation, so
+    # nothing to compile inside the timed window (detections = 77 KB).
+    np.asarray(jax.device_get(d))
     dt = time.perf_counter() - t0
     img_per_s = batch * iters / dt
     mfu_infer = infer_flops * iters / dt / peak if infer_flops else None
@@ -183,7 +188,8 @@ def main():
         t0 = time.perf_counter()
         for _ in range(t_iters):
             state, losses = compiled_train(state, batch_t, rng)
-        jax.block_until_ready(losses)
+        # scalar fetch, not block_until_ready — see the inference loop note
+        float(jax.tree_util.tree_leaves(losses)[0])
         tdt = time.perf_counter() - t0
         train_metrics = {
             "train_img_per_s": round(tb * t_iters / tdt, 3),

@@ -71,7 +71,12 @@ def main():
     t0 = time.perf_counter()
     for _ in range(iters):
         state, losses = compiled(state, batch_t, rng)
-    jax.block_until_ready(losses)
+    # A host-side scalar FETCH, not block_until_ready: on the axon tunnel,
+    # block_until_ready on the donated train-state outputs can resolve ~10x
+    # early (observed 9 ms/step vs 98 ms/step device time); only an actual
+    # device->host transfer of a value that depends on the last step forces
+    # the whole chain to drain.
+    float(jax.tree.leaves(losses)[0])
     dt = (time.perf_counter() - t0) / iters
     print(f"train b{tb}@{size} {backbone}: {dt * 1e3:.2f} ms/step  "
           f"{tb / dt:.2f} img/s", flush=True)
