@@ -114,6 +114,11 @@ class MaskRCNNConfig:
     pool_size: int = 7
     mask_pool_size: int = 14
     fpn_cls_fc_layers_size: int = 1024
+    # Mask-head 3x3 conv width. The reference hardcodes 256
+    # (mrcnn_layers.py:1201-1267); the default preserves parity, smaller
+    # values give proportionally lighter heads for small/embedded models
+    # (the mask head dominates ROI-head FLOPs: 4 convs + deconv per ROI).
+    mask_conv_channels: int = 256
 
     # ---- losses / regularization (reference config.py:141, 152-156) ----
     # Order: rpn_class, rpn_bbox, mrcnn_class, mrcnn_bbox, mrcnn_mask

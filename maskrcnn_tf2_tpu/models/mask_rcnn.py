@@ -97,6 +97,7 @@ class MaskRCNN(nn.Module):
         )
         self.mask_head = FPNMaskHead(
             num_classes=cfg.num_classes,
+            conv_channels=cfg.mask_conv_channels,
             leaky_relu=cfg.mask_head_leaky_relu,
             dtype=d,
             bn_axis=bn_axis,

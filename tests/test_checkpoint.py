@@ -23,6 +23,9 @@ TINY = dict(
     max_gt_instances=4,
     num_classes=2,
     backbone="mobilenet",
+    top_down_pyramid_size=64,
+    fpn_cls_fc_layers_size=128,
+    mask_conv_channels=64,
     compute_dtype="float32",
 )
 

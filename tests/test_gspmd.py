@@ -30,8 +30,14 @@ CFG = MaskRCNNConfig(
     train_rois_per_image=8,
     max_gt_instances=4,
     num_classes=3,
-    backbone="resnet18",
+    # mobilenet + 64-wide FPN: the equivalence + sharding assertions are
+    # structural (head-leaf names, partitioner placement), and param volume
+    # dominates both compile and run time on the shared-core virtual mesh
+    # (same lesson as __graft_entry__._flagship_config(tiny=True))
+    backbone="mobilenet",
+    top_down_pyramid_size=64,
     fpn_cls_fc_layers_size=128,
+    mask_conv_channels=64,
     compute_dtype="float32",
     batch_size=2,
     parallel_mode="gspmd",

@@ -29,6 +29,9 @@ BASE = dict(
     max_gt_instances=4,
     num_classes=3,
     backbone="resnet18",
+    top_down_pyramid_size=64,
+    fpn_cls_fc_layers_size=128,
+    mask_conv_channels=64,
     compute_dtype="float32",
     batch_size=1,
 )
