@@ -103,9 +103,42 @@ def main():
         return (pred[..., :6].reshape(batch, -1, 2),
                 pred[..., 6:].reshape(batch, -1, 4))
 
+    # ---- slim-funnel (5k = 15 channel) variants: rpn.py mode='slim' ----
+    w15 = jnp.asarray(rng.rand(512, 15).astype(np.float32) * 0.01, dtype=d)
+    b15 = jnp.zeros((15,), d)
+    w16 = jnp.zeros((512, 16), d).at[:, :15].set(w15)
+    b16 = jnp.zeros((16,), d).at[:15].set(b15)
+
+    def v_slim15(f):  # production form: tensordot to 15, free row reshape
+        s = shared(f)
+        pred = jnp.tensordot(s, w15, axes=[[3], [0]]) + b15
+        p5 = pred.reshape(batch, -1, 5)
+        return p5[..., 0].astype(jnp.float32), p5
+
+    def v_slim16(f):  # lane-aligned 16-wide write, slice to 15 after
+        s = shared(f)
+        pred = jnp.tensordot(s, w16, axes=[[3], [0]]) + b16
+        p5 = pred[..., :15].reshape(batch, -1, 5)
+        return p5[..., 0].astype(jnp.float32), p5
+
+    def v_slim15_flat(f):  # 2D matmul form
+        s = shared(f)
+        pred = s.reshape(-1, 512) @ w15 + b15
+        p5 = pred.reshape(batch, -1, 5)
+        return p5[..., 0].astype(jnp.float32), p5
+
+    def v_slim16_flat(f):
+        s = shared(f)
+        pred = s.reshape(-1, 512) @ w16 + b16
+        p5 = pred.reshape(batch, hw * hw, 16)[..., :15].reshape(batch, -1, 5)
+        return p5[..., 0].astype(jnp.float32), p5
+
     variants = dict(
         current=v_current, split=v_split, pad128=v_pad128,
-        flat2d=v_flat2d, f32pred=v_f32pred, sharedonly=v_sharedonly,
+        flat2d=v_flat2d, f32pred=v_f32pred,
+        slim15=v_slim15, slim16=v_slim16,
+        slim15_flat=v_slim15_flat, slim16_flat=v_slim16_flat,
+        sharedonly=v_sharedonly,
     )
     for name, fn in variants.items():
         c = jax.jit(fn).lower(f).compile()
