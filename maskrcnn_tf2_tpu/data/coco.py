@@ -48,8 +48,20 @@ def _decode_rle_counts(s: str) -> List[int]:
 
 
 def rle_to_mask(rle: Dict, h: int, w: int) -> np.ndarray:
-    """RLE dict ({'counts': str|list, 'size': [h, w]}) -> bool mask [h, w]."""
+    """RLE dict ({'counts': str|list, 'size': [h, w]}) -> bool mask [h, w].
+
+    Uses the native C codec (native/rle.py — the framework's equivalent of
+    the reference's pycocotools-C dependency) when buildable; the numpy path
+    below is the always-available fallback and the test oracle."""
     counts = rle["counts"]
+    from maskrcnn_tf2_tpu.native import rle as _native_rle
+
+    native = _native_rle.get()
+    if native is not None:
+        buf = native.decode_mask(counts, h, w)
+        return (
+            np.frombuffer(buf, np.uint8).reshape(w, h).T.astype(bool)
+        )
     if isinstance(counts, str):
         counts = _decode_rle_counts(counts)
     counts = np.asarray(counts, dtype=np.int64)
