@@ -98,10 +98,14 @@ class DataLoader:
                     return {k: z[k] for k in z.files}
             sample = load_image_gt(self.dataset, self.config, idx, None)
             tmp = path + f".tmp{os.getpid()}"
-            if sample is None:
-                np.savez(tmp, empty=np.zeros(1, np.uint8))
-            else:
-                np.savez(tmp, **sample)
+            # write through a file handle: np.savez(str_path) APPENDS
+            # ".npz" when the name doesn't end in it, which would break the
+            # atomic-rename (tmp file would not exist under `tmp`)
+            with open(tmp, "wb") as f:
+                if sample is None:
+                    np.savez(f, empty=np.zeros(1, np.uint8))
+                else:
+                    np.savez(f, **sample)
             os.replace(tmp, path)
             return sample
         return load_image_gt(self.dataset, self.config, idx, self.augment_fn)

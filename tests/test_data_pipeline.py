@@ -166,3 +166,29 @@ def test_maxmin_normalization():
 
     with pytest.raises(AssertionError):
         MaskRCNNConfig(normalization="bogus")
+
+
+def test_sample_cache_roundtrip_and_invalidation(tmp_path):
+    """The npz sample cache must (a) actually write+hit (the tmp-file write
+    crashed when np.savez appended .npz to the rename source), (b) return
+    identical samples, and (c) miss when a consumed config knob changes."""
+    ds = make_dataset(4)
+    base = dict(
+        image_shape=(128, 128, 3), image_min_dim=128, image_max_dim=128,
+        batch_size=2, num_classes=4, max_gt_instances=6,
+        sample_cache_dir=str(tmp_path),
+    )
+    cfg = MaskRCNNConfig(**base)
+    cold = list(DataLoader(ds, cfg, shuffle=False).epoch())
+    tags = [p for p in tmp_path.iterdir() if p.is_dir()]
+    assert len(tags) == 1 and len(list(tags[0].glob("*.npz"))) == 4
+    assert not list(tags[0].glob("*.tmp*"))  # atomic rename cleaned up
+    warm = list(DataLoader(ds, cfg, shuffle=False).epoch())
+    for cb, wb in zip(cold, warm):
+        for k in cb:
+            np.testing.assert_array_equal(cb[k], wb[k])
+    # changing a knob the cached sample depends on -> new fingerprint dir
+    cfg2 = MaskRCNNConfig(**{**base, "image_shape": (96, 96, 3),
+                             "image_min_dim": 96, "image_max_dim": 96})
+    list(DataLoader(ds, cfg2, shuffle=False).epoch())
+    assert len([p for p in tmp_path.iterdir() if p.is_dir()]) == 2
