@@ -79,12 +79,22 @@ class DataLoader:
                 import hashlib
 
                 c = self.config
-                key = repr(  # every knob load_image_gt consumes
+                # Dataset identity = every image's registration record
+                # (size-capped repr covers id, path, AND generator params of
+                # path-less synthetic sets): a regenerated or swapped dataset
+                # of the SAME length must miss, not silently serve another
+                # dataset's samples.
+                ds_ident = [
+                    repr(info)[:2000]
+                    for info in getattr(self.dataset, "_image_info", [])
+                ] or [len(self.dataset)]
+                key = repr(  # every knob load_image_gt consumes + dataset
                     (
                         c.image_shape, c.image_min_dim, c.image_max_dim,
                         c.image_min_scale, c.image_resize_mode,
                         c.max_gt_instances, c.use_mini_masks,
                         c.mini_mask_shape, c.num_classes, len(self.dataset),
+                        ds_ident,
                     )
                 )
                 self._cache_tag = hashlib.md5(key.encode()).hexdigest()[:12]
@@ -141,6 +151,17 @@ class DataLoader:
         window = max(2 * num_workers, self.batch_size)
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
             pending: deque = deque()
+
+            if fixed_steps and len(order) == 0:
+                # an empty host shard would make index_stream below spin
+                # forever ('while True: yield from <empty>') and deadlock the
+                # other hosts at the first collective — fail loudly instead
+                raise RuntimeError(
+                    f"host shard {self.process_index}/{self.process_count} is "
+                    f"empty (dataset of {len(self.dataset)} over "
+                    f"{self.process_count} hosts) but fixed_steps="
+                    f"{fixed_steps} batches were requested"
+                )
 
             def index_stream():
                 while True:

@@ -49,13 +49,12 @@ def _stem_s2d_on() -> bool:
     ci-padding is what makes ci=3 slow; CPU tests keep the plain conv so
     oracle numerics are bit-identical), overridable for parity tests and
     measurement via MASKRCNN_TPU_STEM_S2D=0/1."""
+    from maskrcnn_tf2_tpu.utils.platform import on_tpu
+
     env = os.environ.get("MASKRCNN_TPU_STEM_S2D", "")
     if env in ("0", "1"):
         return env == "1"
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
+    return on_tpu()
 
 
 class _StemConvS2D(nn.Module):

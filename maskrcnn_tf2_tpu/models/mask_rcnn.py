@@ -49,15 +49,14 @@ def _rpn_slim_enabled() -> bool:
     (tests force ``slim`` on CPU to pin slim-vs-dense equivalence)."""
     import os
 
+    from maskrcnn_tf2_tpu.utils.platform import on_tpu
+
     env = os.environ.get("MASKRCNN_TPU_RPN", "").lower()
     if env == "slim":
         return True
     if env == "dense":
         return False
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
+    return on_tpu()
 
 
 class MaskRCNN(nn.Module):

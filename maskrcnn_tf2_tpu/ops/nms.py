@@ -39,13 +39,13 @@ TILE = 512
 
 
 def _use_pallas() -> bool:
-    """Pallas kernel on real TPU unless disabled via MASKRCNN_TPU_NMS=xla."""
+    """Pallas kernel on real TPU unless disabled via MASKRCNN_TPU_NMS=xla
+    or a surrounding utils.platform.no_pallas() scope (GSPMD tracing)."""
+    from maskrcnn_tf2_tpu.utils.platform import on_tpu, pallas_allowed
+
     if os.environ.get("MASKRCNN_TPU_NMS", "").lower() == "xla":
         return False
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
+    return pallas_allowed() and on_tpu()
 
 
 def _self_suppress(iou_block: jnp.ndarray, row_valid: jnp.ndarray) -> jnp.ndarray:

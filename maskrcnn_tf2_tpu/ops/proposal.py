@@ -26,12 +26,44 @@ from maskrcnn_tf2_tpu.ops.topk import binned_top_k
 _DELTA_CLIP = 4.135166556742356
 
 
-def _on_tpu() -> bool:
-    """Trace-time backend check (matches ops.nms._use_pallas semantics)."""
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
+from maskrcnn_tf2_tpu.utils.platform import on_tpu as _on_tpu  # shared probe
+
+
+def _pre_nms_top_k(scores: jnp.ndarray, pre_nms_limit: int, approx_topk: bool):
+    """Descending (scores, idx) of the top ``pre_nms_limit`` anchors."""
+    pre = min(pre_nms_limit, scores.shape[0])
+    if approx_topk and scores.shape[0] >= 4 * pre and _on_tpu():
+        # Two-stage binned top-k (ops/topk.py) instead of the full stable
+        # sort lax.top_k lowers to (sort of 262k anchors = 4.5 ms/b16 on
+        # v5e; lax.approx_max_k silently fell back to the SAME full sort at
+        # k=6000/recall 0.99). Recall ~0.999 of the true top-k; misses are
+        # at the low-score boundary where NMS keeps none. Off-TPU this
+        # branch is not taken, so CPU oracle parity
+        # (tests/test_funnel_parity.py) is bit-unchanged.
+        return binned_top_k(scores, pre)
+    return jax.lax.top_k(scores, pre)
+
+
+def _decode_and_nms(
+    top_scores: jnp.ndarray,  # [pre] descending
+    top_deltas: jnp.ndarray,  # [pre, 4] f32, std-scaled, unclipped
+    top_anchors: jnp.ndarray,  # [pre, 4] normalized
+    proposal_count: int,
+    nms_threshold: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared decode/clip/NMS tail of the dense and slim funnels — one
+    definition so a decoding fix can never diverge the two paths the
+    slim-vs-dense equivalence tests pin."""
+    top_deltas = jnp.clip(top_deltas, -_DELTA_CLIP, _DELTA_CLIP)
+    boxes = apply_box_deltas(top_anchors, top_deltas)
+    boxes = clip_boxes(boxes, jnp.array([0.0, 0.0, 1.0, 1.0], boxes.dtype))
+    # top_scores came out of (binned_)top_k, i.e. already descending: skip
+    # the re-sort inside NMS (presorted fast path; ~4.5 ms of argsorts at
+    # b16).
+    out_boxes, _, out_valid = nms_padded_boxes(
+        boxes, top_scores, proposal_count, nms_threshold, presorted=True
+    )
+    return out_boxes, out_valid
 
 
 def _proposals_one_image(
@@ -43,31 +75,12 @@ def _proposals_one_image(
     nms_threshold: float,
     approx_topk: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    pre = min(pre_nms_limit, scores.shape[0])
-    if approx_topk and scores.shape[0] >= 4 * pre and _on_tpu():
-        # Two-stage binned top-k (ops/topk.py) instead of the full stable
-        # sort lax.top_k lowers to (sort of 262k anchors = 4.5 ms/b16 on
-        # v5e; lax.approx_max_k silently fell back to the SAME full sort at
-        # k=6000/recall 0.99). Recall ~0.999 of the true top-k; misses are
-        # at the low-score boundary where NMS keeps none. Off-TPU this
-        # branch is not taken, so CPU oracle parity
-        # (tests/test_funnel_parity.py) is bit-unchanged.
-        top_scores, top_idx = binned_top_k(scores, pre)
-    else:
-        top_scores, top_idx = jax.lax.top_k(scores, pre)
+    top_scores, top_idx = _pre_nms_top_k(scores, pre_nms_limit, approx_topk)
     top_deltas = jnp.take(deltas, top_idx, axis=0)
     top_anchors = jnp.take(anchors, top_idx, axis=0)
-
-    top_deltas = jnp.clip(top_deltas, -_DELTA_CLIP, _DELTA_CLIP)
-    boxes = apply_box_deltas(top_anchors, top_deltas)
-    boxes = clip_boxes(boxes, jnp.array([0.0, 0.0, 1.0, 1.0], boxes.dtype))
-
-    # top_scores came out of lax.top_k, i.e. already descending: skip the
-    # re-sort inside NMS (presorted fast path; ~4.5 ms of argsorts at b16).
-    out_boxes, _, out_valid = nms_padded_boxes(
-        boxes, top_scores, proposal_count, nms_threshold, presorted=True
+    return _decode_and_nms(
+        top_scores, top_deltas, top_anchors, proposal_count, nms_threshold
     )
-    return out_boxes, out_valid
 
 
 @partial(
@@ -122,24 +135,15 @@ def _proposals_one_image_slim(
     nms_threshold: float,
     approx_topk: bool,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    pre = min(pre_nms_limit, rank.shape[0])
-    if approx_topk and rank.shape[0] >= 4 * pre and _on_tpu():
-        top_scores, top_idx = binned_top_k(rank, pre)
-    else:
-        top_scores, top_idx = jax.lax.top_k(rank, pre)
+    top_scores, top_idx = _pre_nms_top_k(rank, pre_nms_limit, approx_topk)
     # ONE row gather fetches score + deltas together (the dense path gathers
     # deltas and anchors from two [A, ...] f32 tensors).
     rows = jnp.take(p5, top_idx, axis=0)  # [pre, 5]
     top_deltas = rows[:, 1:5].astype(jnp.float32) * std
     top_anchors = jnp.take(anchors, top_idx, axis=0)
-
-    top_deltas = jnp.clip(top_deltas, -_DELTA_CLIP, _DELTA_CLIP)
-    boxes = apply_box_deltas(top_anchors, top_deltas)
-    boxes = clip_boxes(boxes, jnp.array([0.0, 0.0, 1.0, 1.0], boxes.dtype))
-    out_boxes, _, out_valid = nms_padded_boxes(
-        boxes, top_scores, proposal_count, nms_threshold, presorted=True
+    return _decode_and_nms(
+        top_scores, top_deltas, top_anchors, proposal_count, nms_threshold
     )
-    return out_boxes, out_valid
 
 
 @partial(

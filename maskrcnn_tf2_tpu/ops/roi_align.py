@@ -34,13 +34,12 @@ import jax.numpy as jnp
 def _use_matmul() -> bool:
     """Separable-matmul sampling on real TPU (MXU) unless overridden via
     MASKRCNN_TPU_ROIALIGN=gather|matmul; scalar gathers are faster on CPU."""
+    from maskrcnn_tf2_tpu.utils.platform import on_tpu
+
     env = os.environ.get("MASKRCNN_TPU_ROIALIGN", "").lower()
     if env in ("gather", "matmul"):
         return env == "matmul"
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
+    return on_tpu()
 
 
 def roi_level_assignment(
@@ -306,18 +305,20 @@ def pyramid_roi_align(
       (measured 68 vs 56 img/s R101@1024).
     * CPU -> always gather (no MXU; tests/oracles).
     """
+    from maskrcnn_tf2_tpu.utils.platform import on_tpu, pallas_allowed
+
     env = os.environ.get("MASKRCNN_TPU_ROIALIGN", "").lower()
     if env in ("pallas", "gather", "matmul"):
         choice = env
     else:
-        try:
-            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        except Exception:
-            on_tpu = False
         # TPU default: the exact Pallas two-mode DMA kernel, both modes —
         # measured vs the XLA paths at both scales (scripts/bench_roialign.py;
         # custom VJP covers training). CPU: gather (no MXU; tests/oracles).
-        choice = "pallas" if on_tpu else "gather"
+        choice = "pallas" if on_tpu() else "gather"
+    if choice == "pallas" and not pallas_allowed():
+        # no_pallas() scope (GSPMD tracing): fall through to the XLA
+        # implementations; training still picks the matmul path below.
+        choice = "gather"
     if choice == "pallas":
         from maskrcnn_tf2_tpu.kernels.roi_align_pallas import pyramid_roi_align_pallas
 
@@ -347,24 +348,21 @@ def pyramid_roi_align_deferred(
     smaller). Everywhere else ``slot is None`` and ``pooled`` is already in
     original ROI order with exactly N rows.
     """
+    from maskrcnn_tf2_tpu.utils.platform import on_tpu, pallas_allowed
+
     env = os.environ.get("MASKRCNN_TPU_ROIALIGN", "").lower()
-    if env in ("gather", "matmul"):
+    if env in ("gather", "matmul") or not pallas_allowed():
         return (
             pyramid_roi_align(features, boxes, pool_size, image_shape, denominator),
             None,
         )
-    if env != "pallas":
-        try:
-            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        except Exception:
-            on_tpu = False
-        if not on_tpu:
-            return (
-                pyramid_roi_align(
-                    features, boxes, pool_size, image_shape, denominator
-                ),
-                None,
-            )
+    if env != "pallas" and not on_tpu():
+        return (
+            pyramid_roi_align(
+                features, boxes, pool_size, image_shape, denominator
+            ),
+            None,
+        )
     from maskrcnn_tf2_tpu.kernels.roi_align_pallas import (
         pyramid_roi_align_pallas_deferred,
     )

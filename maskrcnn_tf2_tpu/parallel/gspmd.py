@@ -124,11 +124,21 @@ def make_gspmd_train_step(
         "config.sync_bn is the shard_map-path flag and must stay False"
     )
     step = make_train_step(config, axis_name=None)
+
+    def step_xla(*args):
+        # Pallas tpu_custom_calls have no SPMD partitioning rule; keep the
+        # auto-partitioned program on the pure-XLA NMS/ROIAlign paths. The
+        # scope is active whenever jit TRACES (and is free at run time).
+        from maskrcnn_tf2_tpu.utils.platform import no_pallas
+
+        with no_pallas():
+            return step(*args)
+
     specs = state_shardings(state, mesh, config)
     batch_sharding = NamedSharding(mesh, P(config.mesh_data_axis))
     repl = NamedSharding(mesh, P())
     jstep = jax.jit(
-        step,
+        step_xla,
         in_shardings=(specs, batch_sharding, repl),
         out_shardings=(specs, repl),
         compiler_options=compiler_options,
@@ -144,11 +154,18 @@ def make_gspmd_eval_step(
     from maskrcnn_tf2_tpu.train.train_step import make_eval_step
 
     step = make_eval_step(config, axis_name=None)
+
+    def step_xla(*args):
+        from maskrcnn_tf2_tpu.utils.platform import no_pallas
+
+        with no_pallas():  # same rationale as make_gspmd_train_step
+            return step(*args)
+
     specs = state_shardings(state, mesh, config)
     batch_sharding = NamedSharding(mesh, P(config.mesh_data_axis))
     repl = NamedSharding(mesh, P())
     return jax.jit(
-        step,
+        step_xla,
         in_shardings=(specs, batch_sharding, repl),
         out_shardings=repl,
         compiler_options=compiler_options,

@@ -1,0 +1,53 @@
+"""Trace-time platform gating for device-dependent op implementations.
+
+Several hot ops ship two implementations — a TPU one (Pallas kernel, MXU
+matmul reformulation, slim RPN funnel, space-to-depth stem) and an XLA/numpy
+oracle twin that CPU tests exercise bit-exactly. Every gate used to carry its
+own ``jax.devices()[0].platform`` probe; this module is the single shared
+probe plus a scoped kill-switch for Pallas custom calls.
+
+``no_pallas()`` exists for the GSPMD path (parallel/gspmd.py): Pallas
+``tpu_custom_call``s have no SPMD partitioning rule, so a step traced for
+the XLA auto-partitioner must route NMS/ROIAlign through their pure-XLA
+implementations (the explicit shard_map path is fine — there the kernels
+run as ordinary per-device programs). Pure-XLA TPU paths (slim RPN,
+matmul ROIAlign, s2d stem) stay enabled; the partitioner handles them.
+"""
+
+from __future__ import annotations
+
+import threading
+from contextlib import contextmanager
+
+_STATE = threading.local()
+
+
+def on_tpu() -> bool:
+    """Trace-time backend probe shared by every device-dependent gate.
+
+    'axon' is the tunneled-TPU platform name this environment registers.
+    Conservative on failure: a down backend means the CPU/oracle paths.
+    """
+    try:
+        import jax
+
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def pallas_allowed() -> bool:
+    """False while inside a ``no_pallas()`` scope (checked by the NMS and
+    ROIAlign gates in addition to their own env overrides)."""
+    return not getattr(_STATE, "no_pallas", False)
+
+
+@contextmanager
+def no_pallas():
+    """Disable Pallas custom calls for anything TRACED inside the scope."""
+    prev = getattr(_STATE, "no_pallas", False)
+    _STATE.no_pallas = True
+    try:
+        yield
+    finally:
+        _STATE.no_pallas = prev

@@ -192,3 +192,24 @@ def test_sample_cache_roundtrip_and_invalidation(tmp_path):
                              "image_min_dim": 96, "image_max_dim": 96})
     list(DataLoader(ds, cfg2, shuffle=False).epoch())
     assert len([p for p in tmp_path.iterdir() if p.is_dir()]) == 2
+    # a DIFFERENT dataset of the same length/config must also miss
+    ds2 = SyntheticShapesDataset()
+    ds2.load_shapes(4, 96, 120, seed=99)
+    ds2.prepare()
+    list(DataLoader(ds2, cfg, shuffle=False).epoch())
+    assert len([p for p in tmp_path.iterdir() if p.is_dir()]) == 3
+
+
+def test_empty_host_shard_with_fixed_steps_raises():
+    """An empty per-host shard must fail loudly, not busy-loop forever
+    (index_stream cycles 'while True' when fixed_steps is set)."""
+    import pytest
+
+    ds = make_dataset(2)
+    cfg = MaskRCNNConfig(
+        image_shape=(128, 128, 3), image_min_dim=128, image_max_dim=128,
+        batch_size=4, num_classes=4, max_gt_instances=6,
+    )
+    loader = DataLoader(ds, cfg, shuffle=False, process_index=3, process_count=4)
+    with pytest.raises(RuntimeError, match="empty"):
+        next(loader.epoch(fixed_steps=2))

@@ -133,3 +133,26 @@ def test_gspmd_step_matches_single_device():
         rtol=2e-4,
         atol=2e-5,
     )
+
+
+def test_no_pallas_scope_gates_kernels(monkeypatch):
+    """Inside utils.platform.no_pallas() the NMS/ROIAlign gates must route
+    to pure-XLA implementations even on TPU — the GSPMD partitioner has no
+    rule for Pallas tpu_custom_calls. Pure-XLA TPU paths stay on."""
+    from maskrcnn_tf2_tpu.ops import nms as nms_mod
+    from maskrcnn_tf2_tpu.utils import platform
+
+    monkeypatch.setattr(platform, "on_tpu", lambda: True)  # simulate TPU
+    monkeypatch.delenv("MASKRCNN_TPU_NMS", raising=False)
+    assert nms_mod._use_pallas() is True
+    with platform.no_pallas():
+        assert nms_mod._use_pallas() is False
+        assert platform.pallas_allowed() is False
+    assert nms_mod._use_pallas() is True  # scope restores
+
+    # the ROIAlign matmul gate (pure XLA) is NOT affected by the scope
+    from maskrcnn_tf2_tpu.ops import roi_align as ra
+
+    monkeypatch.delenv("MASKRCNN_TPU_ROIALIGN", raising=False)
+    with platform.no_pallas():
+        assert ra._use_matmul() is True
