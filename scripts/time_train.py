@@ -1,0 +1,88 @@
+"""Time the flagship train step (bench.py's exact train config), nothing else.
+
+    python scripts/time_train.py [batch] [size] [backbone]
+
+Honors MASKRCNN_TPU_ROIALIGN / MASKRCNN_TPU_NMS env overrides, so A/B runs
+of op implementations are one env var away. Best-of-3 windows of 8 steps,
+host-fetch terminated (CLAUDE.md TPU-timing rules).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from maskrcnn_tf2_tpu.config import MaskRCNNConfig
+from maskrcnn_tf2_tpu.ops.image import compose_image_meta
+from maskrcnn_tf2_tpu.train.train_step import create_train_state, make_train_step
+from maskrcnn_tf2_tpu.utils.compile_cache import enable as enable_cache
+
+
+def main():
+    tb = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    size = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    backbone = sys.argv[3] if len(sys.argv) > 3 else "resnet50"
+
+    enable_cache()
+    tcfg = MaskRCNNConfig(
+        image_shape=(size, size, 3),
+        num_classes=81,
+        backbone=backbone,
+        compute_dtype="bfloat16",
+        image_min_dim=size,
+        image_max_dim=size,
+    )
+    state = create_train_state(tcfg, jax.random.PRNGKey(0))
+    g = tcfg.max_gt_instances
+    mh, mw = tcfg.mini_mask_shape if tcfg.use_mini_masks else (size, size)
+    rs = np.random.RandomState(0)
+    tmeta = compose_image_meta(
+        0, (size, size, 3), (size, size, 3), (0, 0, size, size), 1.0,
+        np.ones(tcfg.num_classes),
+    )
+    n_gt = 8
+    boxes = np.zeros((tb, g, 4), np.float32)
+    y1x1 = rs.uniform(0.05, 0.6, (tb, n_gt, 2))
+    hw = rs.uniform(0.1, 0.35, (tb, n_gt, 2))
+    boxes[:, :n_gt, :2] = y1x1
+    boxes[:, :n_gt, 2:] = np.minimum(y1x1 + hw, 0.98)
+    batch_t = {
+        "images": jnp.asarray(rs.rand(tb, size, size, 3).astype(np.float32) * 255),
+        "image_meta": jnp.tile(jnp.asarray(tmeta), (tb, 1)),
+        "gt_class_ids": jnp.asarray(
+            np.pad(rs.randint(1, 81, (tb, n_gt)), ((0, 0), (0, g - n_gt)))
+        ),
+        "gt_masks": jnp.asarray((rs.rand(tb, g, mh, mw) > 0.5).astype(np.float32)),
+        "gt_boxes": jnp.asarray(boxes),
+    }
+    step = make_train_step(tcfg)
+    rng = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    compiled = jax.jit(step).lower(state, batch_t, rng).compile()
+    print(f"compile {time.perf_counter() - t0:.1f}s", flush=True)
+    state, losses = compiled(state, batch_t, rng)
+    jax.block_until_ready(losses)
+
+    iters, best = 8, float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, losses = compiled(state, batch_t, rng)
+        float(jax.tree.leaves(losses)[0])  # host fetch drains the chain
+        best = min(best, time.perf_counter() - t0)
+    ms = best / iters * 1000
+    print(
+        f"train b{tb}@{size} {backbone} "
+        f"roialign={os.environ.get('MASKRCNN_TPU_ROIALIGN', 'default')}: "
+        f"{ms:.2f} ms/step  {tb / ms * 1000:.2f} img/s"
+    )
+
+
+if __name__ == "__main__":
+    main()
