@@ -119,6 +119,21 @@ class MaskRCNNConfig:
     # values give proportionally lighter heads for small/embedded models
     # (the mask head dominates ROI-head FLOPs: 4 convs + deconv per ROI).
     mask_conv_channels: int = 256
+    # Train-time mask head computes only the GT class's channel of the
+    # final 1x1 conv (always EXACT — the loss gathers that channel anyway,
+    # reference losses.py:190-235, and no BN follows the projection), and —
+    # when the head BNs run on moving averages (train_bn=False, the
+    # reference COCO CLI's own default: store_true at coco.py:555) — runs
+    # only on the leading int(train_rois_per_image * roi_positive_ratio)
+    # ROI slots, which hold every positive by construction (ops/targets.py
+    # prio sort; the loss zero-weights the rest). The reference computes
+    # the full [T, 28, 28, C] head (mrcnn_layers.py:1201-1267) — ~3x the
+    # mask-head FLOPs plus a [B*T, 28, 28, C] f32 intermediate for outputs
+    # the loss multiplies by zero. Under train_bn=True the slot slicing
+    # stays off automatically (it would change the heads' batch
+    # statistics); the channel projection still applies.
+    # Off = reference-shaped full compute.
+    mask_train_slim: bool = True
 
     # ---- losses / regularization (reference config.py:141, 152-156) ----
     # Order: rpn_class, rpn_bbox, mrcnn_class, mrcnn_bbox, mrcnn_mask

@@ -108,20 +108,30 @@ def mrcnn_mask_loss(masks_pred: Array, target_masks: Array, target_class_ids: Ar
     """Binary CE on the GT-class mask channel for positive ROIs
     (reference losses.py:190-235).
 
-    masks_pred: [B, T, H, W, C] sigmoid probs; target_masks: [B, T, H, W].
+    masks_pred: [B, K, H, W, C] sigmoid probs, or [B, K, H, W] when the head
+    already gathered the GT-class channel (config.mask_train_slim).
+    target_masks: [B, T, H, W] with T >= K. K may be the positive-slot
+    capacity only — exact because the sampler packs positives into the
+    leading slots and non-positive slots are zero-weighted here anyway.
     """
-    cls = target_class_ids.astype(jnp.int32)
-    # one-hot contraction over the class axis (see mrcnn_bbox_loss): the
-    # [B, T, H, W] channel gather was ~21 ms/step on v5e; the einsum is exact.
-    onehot = jax.nn.one_hot(cls, masks_pred.shape[-1], dtype=jnp.float32)
-    picked = jnp.einsum(
-        "bthwc,btc->bthw", masks_pred.astype(jnp.float32), onehot,
-        precision="highest",
-    )  # [B, T, H, W]
+    k = masks_pred.shape[1]
+    cls = target_class_ids[:, :k].astype(jnp.int32)
+    target_masks = target_masks[:, :k]
+    if masks_pred.ndim == 4:
+        picked = masks_pred.astype(jnp.float32)
+    else:
+        # one-hot contraction over the class axis (see mrcnn_bbox_loss): the
+        # [B, T, H, W] channel gather was ~21 ms/step on v5e; the einsum is
+        # exact.
+        onehot = jax.nn.one_hot(cls, masks_pred.shape[-1], dtype=jnp.float32)
+        picked = jnp.einsum(
+            "bthwc,btc->bthw", masks_pred.astype(jnp.float32), onehot,
+            precision="highest",
+        )  # [B, K, H, W]
     picked = jnp.clip(picked, _EPS, 1.0 - _EPS)
     target = target_masks.astype(jnp.float32)
     bce = -(target * jnp.log(picked) + (1.0 - target) * jnp.log(1.0 - picked))
-    bce = jnp.mean(bce, axis=(-1, -2))  # [B, T]
+    bce = jnp.mean(bce, axis=(-1, -2))  # [B, K]
     return _masked_mean(bce, cls > 0)
 
 

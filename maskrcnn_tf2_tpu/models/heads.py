@@ -105,11 +105,57 @@ class FPNClassifierHead(nn.Module):
         return logits, probs, deltas
 
 
+class _MaskProj(nn.Module):
+    """Final 1x1 conv of the mask head, param-compatible with
+    ``nn.Conv(num_classes, (1, 1))`` (kernel ``[1, 1, C, O]``, bias ``[O]``,
+    same initializers) plus a train-mode single-column path.
+
+    A 1x1 conv is a dense layer over the channel axis. At train time the
+    mask loss consumes ONLY the GT class's channel (reference
+    losses.py:190-235), so given ``class_ids`` this computes just that
+    column: gather each ROI's kernel column via a one-hot matmul (autodiff
+    then yields the exact scatter-add kernel gradient as another matmul)
+    and contract it with the features — O(1) channels instead of O(C),
+    and no ``[B*T, 2P, 2P, num_classes]`` intermediate.
+    """
+
+    num_classes: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, class_ids: Array | None = None) -> Array:
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, c, self.num_classes)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.num_classes,))
+        w = kernel[0, 0].astype(self.dtype)  # [C, O]
+        if class_ids is None:
+            return (
+                jax.lax.dot_general(
+                    x.astype(self.dtype), w, (((3,), (0,)), ((), ()))
+                )
+                + bias.astype(self.dtype)
+            )
+        onehot = jax.nn.one_hot(class_ids, self.num_classes, dtype=self.dtype)
+        cols = jax.lax.dot_general(
+            onehot, w, (((1,), (1,)), ((), ()))
+        )  # [N, C]
+        out = jax.lax.dot_general(
+            x.astype(self.dtype), cols, (((3,), (1,)), ((0,), (0,)))
+        )  # [N, H, W]
+        return out + (onehot @ bias.astype(self.dtype))[:, None, None]
+
+
 class FPNMaskHead(nn.Module):
     """ROIAlign(mask_pool)ed features -> per-class sigmoid masks [B,N,2P,2P,C].
 
     Structure (reference mrcnn_layers.py:1201-1267): 4x [3x3 conv(256) + BN +
     act], 2x2 stride-2 transpose conv, 1x1 conv to num_classes + sigmoid.
+
+    With ``class_ids`` (train-time slim path, see ``config.mask_train_slim``)
+    the final projection computes only each ROI's GT-class channel and the
+    output is ``[B, N, 2P, 2P]``.
     """
 
     num_classes: int
@@ -119,7 +165,12 @@ class FPNMaskHead(nn.Module):
     bn_axis: Any = None
 
     @nn.compact
-    def __call__(self, roi_features: Array, train_bn: bool = False) -> Array:
+    def __call__(
+        self,
+        roi_features: Array,
+        train_bn: bool = False,
+        class_ids: Array | None = None,
+    ) -> Array:
         d = self.dtype
         act: Callable = (lambda v: nn.leaky_relu(v, 0.2)) if self.leaky_relu else nn.relu
         b, n, p, _, c = roi_features.shape
@@ -137,6 +188,11 @@ class FPNMaskHead(nn.Module):
             self.conv_channels, (2, 2), strides=(2, 2), dtype=d, name="mrcnn_mask_deconv"
         )(x)
         x = act(x)
-        x = nn.Conv(self.num_classes, (1, 1), dtype=d, name="mrcnn_mask")(x)
+        proj = _MaskProj(self.num_classes, dtype=d, name="mrcnn_mask")
+        if class_ids is not None:
+            x = proj(x, class_ids.reshape(b * n))
+            x = nn.sigmoid(x.astype(jnp.float32))
+            return x.reshape(b, n, 2 * p, 2 * p)
+        x = proj(x)
         x = nn.sigmoid(x.astype(jnp.float32))
         return x.reshape(b, n, 2 * p, 2 * p, self.num_classes)

@@ -197,11 +197,30 @@ class MaskRCNN(nn.Module):
                 training=True,
             )
             logits, probs, deltas = self.classifier(pooled, train_bn=train_bn)
+            # EXACT slimming (see config.mask_train_slim): the loss consumes
+            # only positive slots' GT-class channel, so (a) the final 1x1
+            # conv computes just that column (always exact — no BN follows
+            # it), and (b) when the head BNs run on moving averages (the
+            # reference COCO CLI's own default, coco.py:555 store_true) the
+            # head runs only on the leading int(T * positive_ratio) slots —
+            # detection_targets packs positives first. (b) must stay off
+            # under train_bn: batch statistics are computed across the ROI
+            # axis, so dropping slots would change them.
+            mask_rois = targets.rois
+            mask_class_ids = None
+            if cfg.mask_train_slim:
+                mask_class_ids = targets.class_ids
+                if not train_bn:
+                    k = max(int(cfg.train_rois_per_image * cfg.roi_positive_ratio), 1)
+                    mask_rois = targets.rois[:, :k]
+                    mask_class_ids = targets.class_ids[:, :k]
             mask_pooled = pyramid_roi_align(
-                mrcnn_feats, targets.rois, cfg.mask_pool_size, cfg.image_shape,
+                mrcnn_feats, mask_rois, cfg.mask_pool_size, cfg.image_shape,
                 training=True,
             )
-            masks = self.mask_head(mask_pooled, train_bn=train_bn)
+            masks = self.mask_head(
+                mask_pooled, train_bn=train_bn, class_ids=mask_class_ids
+            )
             if cfg.frozen_cls_head:
                 logits, probs, deltas = jax.tree.map(
                     jax.lax.stop_gradient, (logits, probs, deltas)

@@ -30,6 +30,12 @@ def main():
     backbone = sys.argv[3] if len(sys.argv) > 3 else "resnet50"
 
     enable_cache()
+    extra = {}
+    if os.environ.get("TRAIN_BN") == "0":
+        # the reference COCO CLI's own default (coco.py:555 store_true)
+        extra = dict(train_bn=False, train_bn_backbone=False)
+    if os.environ.get("MASK_SLIM") == "0":
+        extra["mask_train_slim"] = False
     tcfg = MaskRCNNConfig(
         image_shape=(size, size, 3),
         num_classes=81,
@@ -37,6 +43,7 @@ def main():
         compute_dtype="bfloat16",
         image_min_dim=size,
         image_max_dim=size,
+        **extra,
     )
     state = create_train_state(tcfg, jax.random.PRNGKey(0))
     g = tcfg.max_gt_instances
@@ -79,7 +86,8 @@ def main():
     ms = best / iters * 1000
     print(
         f"train b{tb}@{size} {backbone} "
-        f"roialign={os.environ.get('MASKRCNN_TPU_ROIALIGN', 'default')}: "
+        f"roialign={os.environ.get('MASKRCNN_TPU_ROIALIGN', 'default')} "
+        f"train_bn={tcfg.train_bn} slim={tcfg.mask_train_slim}: "
         f"{ms:.2f} ms/step  {tb / ms * 1000:.2f} img/s"
     )
 

@@ -153,3 +153,89 @@ def test_config_yaml_round_trip(tmp_path):
 
     with pytest.raises(ValueError):
         MaskRCNNConfig.from_yaml(bad)
+
+
+def _loss_and_grads(cfg, params, batch_stats, batch):
+    anchors = jnp.asarray(get_anchors(cfg))
+
+    def f(p):
+        return _loss_and_updates(
+            p, batch_stats, batch, jax.random.PRNGKey(1), cfg, anchors
+        )
+
+    vg = jit_fast(jax.value_and_grad(f, has_aux=True))
+    (total, (losses, _)), grads = vg(params)
+    return total, losses, grads
+
+
+def _assert_trees_close(a, b, rtol, atol):
+    la, ta = jax.tree_util.tree_flatten_with_path(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert ta == jax.tree_util.tree_structure(b)
+    for (path, x), y in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=rtol, atol=atol,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_mask_train_slim_exact_frozen_bn():
+    """config.mask_train_slim with train_bn=False (the reference COCO CLI's
+    own default, coco.py:555) — positive-slot slicing + GT-class-channel
+    projection — must be EXACT: same losses AND same grads as the full
+    reference-shaped head compute."""
+    full = MaskRCNNConfig(
+        **BASE, train_bn=False, train_bn_backbone=False, mask_train_slim=False,
+        use_rpn_rois=False, random_rois=32,
+    )
+    slim = MaskRCNNConfig(
+        **BASE, train_bn=False, train_bn_backbone=False, mask_train_slim=True,
+        use_rpn_rois=False, random_rois=32,
+    )
+    state = create_train_state(full, jax.random.PRNGKey(0))
+    batch = make_batch(full, with_rois=True)
+    t_full, l_full, g_full = _loss_and_grads(full, state.params, state.batch_stats, batch)
+    t_slim, l_slim, g_slim = _loss_and_grads(slim, state.params, state.batch_stats, batch)
+    # positives actually exercised (mask loss nonzero) or the test is vacuous
+    assert float(l_full["mrcnn_mask_loss"]) > 0
+    np.testing.assert_allclose(float(t_slim), float(t_full), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(l_slim["mrcnn_mask_loss"]), float(l_full["mrcnn_mask_loss"]), rtol=1e-5
+    )
+    _assert_trees_close(g_slim, g_full, rtol=5e-4, atol=1e-6)
+
+
+def test_mask_train_slim_exact_train_bn():
+    """Under train_bn=True only the channel projection applies (slot slicing
+    would change the head BNs' batch statistics and stays off); losses and
+    grads must still match the full head exactly."""
+    full = MaskRCNNConfig(
+        **BASE, mask_train_slim=False, use_rpn_rois=False, random_rois=32
+    )
+    slim = MaskRCNNConfig(
+        **BASE, mask_train_slim=True, use_rpn_rois=False, random_rois=32
+    )
+    state = create_train_state(full, jax.random.PRNGKey(0))
+    batch = make_batch(full, with_rois=True)
+    t_full, l_full, g_full = _loss_and_grads(full, state.params, state.batch_stats, batch)
+    t_slim, l_slim, g_slim = _loss_and_grads(slim, state.params, state.batch_stats, batch)
+    assert float(l_full["mrcnn_mask_loss"]) > 0
+    np.testing.assert_allclose(float(t_slim), float(t_full), rtol=1e-5)
+    _assert_trees_close(g_slim, g_full, rtol=5e-4, atol=1e-6)
+
+
+def test_mask_proj_column_matches_full():
+    """_MaskProj(class_ids) == full projection gathered at class_ids, and its
+    params are layout-identical to the nn.Conv it replaces."""
+    from maskrcnn_tf2_tpu.models.heads import _MaskProj
+
+    proj = _MaskProj(num_classes=5, dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(0).randn(6, 4, 4, 8), jnp.float32)
+    cls = jnp.asarray([0, 3, 1, 4, 2, 3], jnp.int32)
+    vs = proj.init(jax.random.PRNGKey(0), x)
+    assert vs["params"]["kernel"].shape == (1, 1, 8, 5)
+    assert vs["params"]["bias"].shape == (5,)
+    dense = proj.apply(vs, x)                      # [6, 4, 4, 5]
+    col = proj.apply(vs, x, cls)                   # [6, 4, 4]
+    picked = jnp.take_along_axis(dense, cls[:, None, None, None], axis=-1)[..., 0]
+    np.testing.assert_allclose(np.asarray(col), np.asarray(picked), rtol=1e-5, atol=1e-6)
