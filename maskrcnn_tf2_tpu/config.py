@@ -196,6 +196,16 @@ class MaskRCNNConfig:
     # gspmd mode only.
     parallel_mode: str = "shard_map"
     tp_shards: int = 1
+    # Int8 post-training quantization — the TPU-native analog of the
+    # reference's TRT deployment story (README.md:460-503 ships fp16; int8
+    # is TRT's next notch). v5e's MXU runs int8 x int8 -> int32 at 2x the
+    # bf16 rate (measured 259.8 vs 159.6 TOP/s incl. dequant epilogue,
+    # scripts/microbench_int8.py). "calib": an inference forward records
+    # each conv input's running amax into the 'quant' collection;
+    # "int8": those convs run int8 with per-output-channel weight scales,
+    # dequant fused by XLA into the eval-mode BN epilogue. Inference-only
+    # (the train step rejects it); ResNet-family backbones.
+    quant_mode: str = "off"  # off | calib | int8
     debug_nans: bool = False
     # Non-finite update guard: "loss" checks the scalar total loss (the
     # reference's check_loss_nan semantics, model.py:64-84 — O(1) cost),
@@ -215,6 +225,7 @@ class MaskRCNNConfig:
             "one anchor scale per pyramid level"
         )
         assert self.parallel_mode in ("shard_map", "gspmd")
+        assert self.quant_mode in ("off", "calib", "int8")
         assert self.tp_shards >= 1
         if self.tp_shards > 1:
             assert self.parallel_mode == "gspmd", (

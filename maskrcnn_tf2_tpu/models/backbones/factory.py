@@ -29,11 +29,29 @@ def backbone_names():
     )
 
 
-def get_backbone(name: str, dtype: Any = jnp.bfloat16, leaky_relu: bool = False, bn_axis: Any = None):
+def get_backbone(
+    name: str,
+    dtype: Any = jnp.bfloat16,
+    leaky_relu: bool = False,
+    bn_axis: Any = None,
+    quant: str = "off",
+):
     """Build the backbone module for a reference backbone key."""
     name = name.lower()
     if name in RESNET_VARIANTS:
-        return ResNet(dtype=dtype, leaky_relu=leaky_relu, bn_axis=bn_axis, name="backbone", **RESNET_VARIANTS[name])
+        return ResNet(
+            dtype=dtype,
+            leaky_relu=leaky_relu,
+            bn_axis=bn_axis,
+            quant=quant,
+            name="backbone",
+            **RESNET_VARIANTS[name],
+        )
+    if quant != "off":
+        raise ValueError(
+            "quant_mode is implemented for ResNet-family backbones; "
+            f"got backbone '{name}' with quant_mode='{quant}'"
+        )
     if name == "mobilenet":
         return MobileNetV1(dtype=dtype, bn_axis=bn_axis, name="backbone")
     if name == "mobilenetv2":

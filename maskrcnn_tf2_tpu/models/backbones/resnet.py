@@ -106,6 +106,53 @@ class _StemConvS2D(nn.Module):
         )
 
 
+class _Int8Conv(nn.Module):
+    """Int8 drop-in for ``nn.Conv(use_bias=False)`` — param-compatible (one
+    ``kernel`` param of the identical shape/init, same module name), so the
+    quantized graph applies the UNCHANGED trained checkpoint.
+
+    Post-training quantization (config.quant_mode): the input is quantized
+    per-tensor with the calibrated running amax (passed in by ConvBN from
+    the 'quant' collection), weights per-output-channel from their own amax
+    — both symmetric, TRT-style. The MXU contracts int8 x int8 -> int32 at
+    2x the bf16 rate on v5e (measured 259.8 vs 159.6 TOP/s with identical
+    dequant epilogues, scripts/microbench_int8.py); the dequant scale and
+    the following eval-mode BatchNorm are elementwise and fuse into one
+    epilogue, so no BN folding is needed.
+    """
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    groups: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, x_amax: Array) -> Array:
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel, x.shape[-1] // self.groups, self.features),
+        )
+        sx = jnp.maximum(x_amax.astype(jnp.float32), 1e-6) / 127.0
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / sx), -127.0, 127.0
+        ).astype(jnp.int8)
+        wf = w.astype(jnp.float32)
+        sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-12) / 127.0
+        wq = jnp.round(wf / sw).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq,
+            wq,
+            self.strides,
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+            preferred_element_type=jnp.int32,
+        )
+        return (y.astype(jnp.float32) * (sx * sw)).astype(self.dtype)
+
+
 class ConvBN(nn.Module):
     features: int
     kernel: Tuple[int, int] = (3, 3)
@@ -114,10 +161,32 @@ class ConvBN(nn.Module):
     dtype: Any = jnp.bfloat16
     bn_axis: Any = None  # mesh axis for sync-BN (config.sync_bn)
     stem_s2d: bool = False  # offer the space-to-depth rewrite (stem only)
+    quant: str = "off"  # off | calib | int8 (config.quant_mode; blocks only)
 
     @nn.compact
     def __call__(self, x: Array, train_bn: bool) -> Array:
-        if (
+        if self.quant == "calib":
+            # Running per-tensor amax of this conv's input. BN follows the
+            # conv, so quantizing later never changes this input's stats.
+            amax = self.variable(
+                "quant", "x_amax", lambda: jnp.zeros((), jnp.float32)
+            )
+            amax.value = jnp.maximum(
+                amax.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+            )
+        if self.quant == "int8":
+            amax = self.variable(
+                "quant", "x_amax", lambda: jnp.zeros((), jnp.float32)
+            )
+            x = _Int8Conv(
+                self.features,
+                self.kernel,
+                self.strides,
+                self.groups,
+                dtype=self.dtype,
+                name="conv",
+            )(x, amax.value)
+        elif (
             self.stem_s2d
             and self.kernel == (7, 7)
             and self.strides == (2, 2)
@@ -156,20 +225,21 @@ class BasicBlock(nn.Module):
     act: Callable = nn.relu
     dtype: Any = jnp.bfloat16
     bn_axis: Any = None
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x: Array, train_bn: bool) -> Array:
         shortcut = x
-        y = ConvBN(self.features, (3, 3), self.strides, dtype=self.dtype, bn_axis=self.bn_axis, name="conv1")(
+        y = ConvBN(self.features, (3, 3), self.strides, dtype=self.dtype, bn_axis=self.bn_axis, quant=self.quant, name="conv1")(
             x, train_bn
         )
         y = self.act(y)
-        y = ConvBN(self.features, (3, 3), dtype=self.dtype, bn_axis=self.bn_axis, name="conv2")(y, train_bn)
+        y = ConvBN(self.features, (3, 3), dtype=self.dtype, bn_axis=self.bn_axis, quant=self.quant, name="conv2")(y, train_bn)
         if self.use_se:
             y = SqueezeExcite(dtype=self.dtype, name="se")(y)
         if shortcut.shape[-1] != self.features or self.strides != (1, 1):
             shortcut = ConvBN(
-                self.features, (1, 1), self.strides, dtype=self.dtype, bn_axis=self.bn_axis, name="downsample"
+                self.features, (1, 1), self.strides, dtype=self.dtype, bn_axis=self.bn_axis, quant=self.quant, name="downsample"
             )(x, train_bn)
         return self.act(y + shortcut)
 
@@ -183,24 +253,25 @@ class Bottleneck(nn.Module):
     act: Callable = nn.relu
     dtype: Any = jnp.bfloat16
     bn_axis: Any = None
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x: Array, train_bn: bool) -> Array:
         width = int(self.features * (self.base_width / 64.0)) * self.groups
         out_features = self.features * 4
         shortcut = x
-        y = ConvBN(width, (1, 1), dtype=self.dtype, bn_axis=self.bn_axis, name="conv1")(x, train_bn)
+        y = ConvBN(width, (1, 1), dtype=self.dtype, bn_axis=self.bn_axis, quant=self.quant, name="conv1")(x, train_bn)
         y = self.act(y)
         y = ConvBN(
-            width, (3, 3), self.strides, groups=self.groups, dtype=self.dtype, bn_axis=self.bn_axis, name="conv2"
+            width, (3, 3), self.strides, groups=self.groups, dtype=self.dtype, bn_axis=self.bn_axis, quant=self.quant, name="conv2"
         )(y, train_bn)
         y = self.act(y)
-        y = ConvBN(out_features, (1, 1), dtype=self.dtype, bn_axis=self.bn_axis, name="conv3")(y, train_bn)
+        y = ConvBN(out_features, (1, 1), dtype=self.dtype, bn_axis=self.bn_axis, quant=self.quant, name="conv3")(y, train_bn)
         if self.use_se:
             y = SqueezeExcite(dtype=self.dtype, name="se")(y)
         if shortcut.shape[-1] != out_features or self.strides != (1, 1):
             shortcut = ConvBN(
-                out_features, (1, 1), self.strides, dtype=self.dtype, bn_axis=self.bn_axis, name="downsample"
+                out_features, (1, 1), self.strides, dtype=self.dtype, bn_axis=self.bn_axis, quant=self.quant, name="downsample"
             )(x, train_bn)
         return self.act(y + shortcut)
 
@@ -221,6 +292,7 @@ class ResNet(nn.Module):
     leaky_relu: bool = False
     dtype: Any = jnp.bfloat16
     bn_axis: Any = None
+    quant: str = "off"  # config.quant_mode: block convs only (stem stays bf16)
 
     @nn.compact
     def __call__(self, x: Array, train_bn: bool = False) -> Dict[str, Array]:
@@ -260,7 +332,7 @@ class ResNet(nn.Module):
                         use_se=self.use_se,
                         act=act,
                         dtype=self.dtype,
-                        bn_axis=self.bn_axis, name=name,
+                        bn_axis=self.bn_axis, quant=self.quant, name=name,
                     )(x, train_bn)
                 else:
                     x = Bottleneck(
@@ -271,7 +343,7 @@ class ResNet(nn.Module):
                         use_se=self.use_se,
                         act=act,
                         dtype=self.dtype,
-                        bn_axis=self.bn_axis, name=name,
+                        bn_axis=self.bn_axis, quant=self.quant, name=name,
                     )(x, train_bn)
             endpoints[f"C{stage_idx + 2}"] = x
             features *= 2

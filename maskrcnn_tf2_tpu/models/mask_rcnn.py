@@ -78,7 +78,11 @@ class MaskRCNN(nn.Module):
         # to the reference's single-GPU train_bn (config.py:152-156).
         bn_axis = cfg.mesh_data_axis if cfg.sync_bn else None
         self.backbone = get_backbone(
-            cfg.backbone, dtype=d, leaky_relu=cfg.resnet_leaky_relu, bn_axis=bn_axis
+            cfg.backbone,
+            dtype=d,
+            leaky_relu=cfg.resnet_leaky_relu,
+            bn_axis=bn_axis,
+            quant=cfg.quant_mode,
         )
         self.fpn = FPN(out_channels=cfg.top_down_pyramid_size, dtype=d)
         self.rpn = RPNHead(

@@ -180,6 +180,11 @@ def fused_pmean(trees, axis_name: str):
 def make_train_step(config: MaskRCNNConfig, axis_name: str | None = None):
     """Build the fused train step. If ``axis_name`` is set, gradients and
     metrics are psum-averaged over that mesh axis (call under shard_map)."""
+    if config.quant_mode != "off":
+        raise ValueError(
+            "quant_mode is inference-only post-training quantization; "
+            "train with quant_mode='off', then export/quantize.py"
+        )
     tx = build_optimizer(config)
     anchors_np = get_anchors(config)
 

@@ -1,0 +1,127 @@
+"""Int8 post-training quantization (config.quant_mode, export/quantize.py).
+
+The TPU-native analog of the reference's TRT deployment notch
+(inference_optimize.py); numerics are pinned on CPU against a numpy
+quantize-dequantize oracle, plus end-to-end calibrate -> int8 forward.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maskrcnn_tf2_tpu.config import MaskRCNNConfig
+from maskrcnn_tf2_tpu.models.backbones.resnet import ResNet, RESNET_VARIANTS, _Int8Conv
+
+CFG = MaskRCNNConfig(
+    image_shape=(96, 96, 3),
+    image_min_dim=96,
+    image_max_dim=96,
+    rpn_anchor_scales=(8, 16, 32, 64, 96),
+    pre_nms_limit=256,
+    post_nms_rois_training=64,
+    post_nms_rois_inference=64,
+    train_rois_per_image=32,
+    max_gt_instances=6,
+    num_classes=4,
+    detection_max_instances=10,
+    detection_min_confidence=0.0,
+    backbone="resnet18",
+    top_down_pyramid_size=64,
+    fpn_cls_fc_layers_size=128,
+    mask_conv_channels=64,
+    compute_dtype="float32",
+    batch_size=1,
+)
+
+
+def test_int8_conv_matches_oracle():
+    rs = np.random.RandomState(0)
+    x = rs.randn(2, 8, 8, 16).astype(np.float32) * 3.0
+    m = _Int8Conv(features=24, kernel=(3, 3), dtype=jnp.float32)
+    variables = m.init(jax.random.PRNGKey(1), jnp.asarray(x), jnp.float32(1.0))
+    w = np.asarray(variables["params"]["kernel"])
+    amax = np.abs(x).max()
+
+    got = np.asarray(m.apply(variables, jnp.asarray(x), jnp.float32(amax)))
+
+    # numpy oracle: symmetric per-tensor x / per-out-channel w quantization
+    sx = max(amax, 1e-6) / 127.0
+    xq = np.clip(np.round(x / sx), -127, 127).astype(np.int8)
+    sw = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-12) / 127.0
+    wq = np.round(w / sw).astype(np.int8)
+    xp = np.pad(xq.astype(np.int32), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ref = np.zeros((2, 8, 8, 24), np.int32)
+    for dy in range(3):
+        for dx in range(3):
+            ref += np.einsum(
+                "bhwc,cf->bhwf",
+                xp[:, dy : dy + 8, dx : dx + 8, :],
+                wq[dy, dx].astype(np.int32),
+                dtype=np.int64,
+            ).astype(np.int32)
+    want = ref.astype(np.float32) * (sx * sw)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_backbone_calib_then_int8_close_to_float():
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(1, 64, 64, 3).astype(np.float32))
+    kw = RESNET_VARIANTS["resnet18"]
+
+    net = ResNet(dtype=jnp.float32, **kw)
+    variables = net.init(jax.random.PRNGKey(0), x, train_bn=False)
+    ref = net.apply(variables, x, train_bn=False)
+
+    calib_net = ResNet(dtype=jnp.float32, quant="calib", **kw)
+    out, mut = calib_net.apply(variables, x, train_bn=False, mutable=["quant"])
+    # calib-mode forward math is unchanged
+    np.testing.assert_allclose(
+        np.asarray(out["C5"]), np.asarray(ref["C5"]), rtol=1e-6
+    )
+    quant = mut["quant"]
+    leaves = jax.tree_util.tree_leaves(quant)
+    assert len(leaves) > 10 and all(float(v) > 0 for v in leaves)
+
+    int8_net = ResNet(dtype=jnp.float32, quant="int8", **kw)
+    q = int8_net.apply({**variables, "quant": quant}, x, train_bn=False)
+    for k in ("C2", "C5"):
+        a, b = np.asarray(ref[k]), np.asarray(q[k])
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
+        assert rel < 0.15, (k, rel)
+        assert np.isfinite(b).all()
+
+
+def test_quantize_for_inference_end_to_end():
+    from maskrcnn_tf2_tpu.export.quantize import quantize_for_inference
+    from maskrcnn_tf2_tpu.models import MaskRCNN
+
+    rs = np.random.RandomState(2)
+    model = MaskRCNN(CFG)
+    images = jnp.asarray(rs.rand(1, 96, 96, 3).astype(np.float32) * 255.0)
+    meta = jnp.zeros((1, CFG.meta_size), jnp.float32)
+    meta = meta.at[0, 4:7].set(jnp.asarray([96.0, 96.0, 3.0]))
+    meta = meta.at[0, 7:11].set(jnp.asarray([0.0, 0.0, 96.0, 96.0]))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        images,
+        meta,
+        train=False,
+    )
+    variables = {k: v for k, v in variables.items()}
+
+    qcfg, qvars = quantize_for_inference(CFG, variables, [(images, meta)])
+    assert qcfg.quant_mode == "int8"
+    qmodel = MaskRCNN(qcfg)
+    out = qmodel.apply(qvars, images, meta, train=False)
+    assert np.isfinite(np.asarray(out["detections"])).all()
+    assert out["detections"].shape == (1, CFG.detection_max_instances, 6)
+
+
+def test_train_step_rejects_quant():
+    from maskrcnn_tf2_tpu.train.train_step import make_train_step
+
+    with pytest.raises(ValueError, match="inference-only"):
+        make_train_step(dataclasses.replace(CFG, quant_mode="int8"))
