@@ -146,6 +146,38 @@ def main():
     img_per_s = batch * iters / best_dt
     mfu_infer = infer_flops * iters / best_dt / peak if infer_flops else None
 
+    # ---------------- int8 PTQ inference (supplementary) ----------------
+    # The TPU-native TRT-int8 analog (config.quant_mode, export/quantize.py).
+    # Reported SEPARATELY from the headline: the baseline is the reference's
+    # TRT **fp16** deployment, so the like-for-like comparison stays bf16.
+    # AP cost measured on the shapes demo: scripts/eval_int8_shapes.py.
+    int8_metrics = {}
+    if on_tpu:
+        from maskrcnn_tf2_tpu.export.quantize import quantize_for_inference
+
+        qcfg, qvars = quantize_for_inference(
+            cfg, dict(variables), [(images, meta)]
+        )
+        qmodel = MaskRCNN(qcfg)
+
+        def infer_q(images, meta):
+            out = qmodel.apply(qvars, images, meta, train=False)
+            return out["detections"], out["mrcnn_masks"]
+
+        compiled_q = jax.jit(infer_q).lower(images, meta).compile()
+        jax.block_until_ready(compiled_q(images, meta))  # warmup
+        best_qdt = float("inf")
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                d, m = compiled_q(images, meta)
+            np.asarray(jax.device_get(d))
+            best_qdt = min(best_qdt, time.perf_counter() - t0)
+        int8_metrics = {
+            "int8_img_per_s": round(batch * iters / best_qdt, 3),
+            "int8_vs_bf16": round(best_dt / best_qdt, 4),
+        }
+
     # ---------------- training: flagship train step ----------------
     train_metrics = {}
     if on_tpu:
@@ -245,6 +277,7 @@ def main():
     if mfu_infer is not None:
         out["mfu_infer"] = round(mfu_infer, 4)
         out["infer_tflops_per_img"] = round(infer_flops / batch / 1e12, 3)
+    out.update(int8_metrics)
     out.update(train_metrics)
     print(json.dumps(out))
 

@@ -22,6 +22,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from maskrcnn_tf2_tpu.models.quant import Int8Conv
+
 Array = jnp.ndarray
 
 
@@ -106,53 +108,6 @@ class _StemConvS2D(nn.Module):
         )
 
 
-class _Int8Conv(nn.Module):
-    """Int8 drop-in for ``nn.Conv(use_bias=False)`` — param-compatible (one
-    ``kernel`` param of the identical shape/init, same module name), so the
-    quantized graph applies the UNCHANGED trained checkpoint.
-
-    Post-training quantization (config.quant_mode): the input is quantized
-    per-tensor with the calibrated running amax (passed in by ConvBN from
-    the 'quant' collection), weights per-output-channel from their own amax
-    — both symmetric, TRT-style. The MXU contracts int8 x int8 -> int32 at
-    2x the bf16 rate on v5e (measured 259.8 vs 159.6 TOP/s with identical
-    dequant epilogues, scripts/microbench_int8.py); the dequant scale and
-    the following eval-mode BatchNorm are elementwise and fuse into one
-    epilogue, so no BN folding is needed.
-    """
-
-    features: int
-    kernel: Tuple[int, int] = (3, 3)
-    strides: Tuple[int, int] = (1, 1)
-    groups: int = 1
-    dtype: Any = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, x: Array, x_amax: Array) -> Array:
-        w = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (*self.kernel, x.shape[-1] // self.groups, self.features),
-        )
-        sx = jnp.maximum(x_amax.astype(jnp.float32), 1e-6) / 127.0
-        xq = jnp.clip(
-            jnp.round(x.astype(jnp.float32) / sx), -127.0, 127.0
-        ).astype(jnp.int8)
-        wf = w.astype(jnp.float32)
-        sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-12) / 127.0
-        wq = jnp.round(wf / sw).astype(jnp.int8)
-        y = jax.lax.conv_general_dilated(
-            xq,
-            wq,
-            self.strides,
-            "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.groups,
-            preferred_element_type=jnp.int32,
-        )
-        return (y.astype(jnp.float32) * (sx * sw)).astype(self.dtype)
-
-
 class ConvBN(nn.Module):
     features: int
     kernel: Tuple[int, int] = (3, 3)
@@ -178,7 +133,7 @@ class ConvBN(nn.Module):
             amax = self.variable(
                 "quant", "x_amax", lambda: jnp.zeros((), jnp.float32)
             )
-            x = _Int8Conv(
+            x = Int8Conv(
                 self.features,
                 self.kernel,
                 self.strides,

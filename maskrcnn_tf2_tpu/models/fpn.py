@@ -26,16 +26,41 @@ def _upsample2x_nearest(x: Array) -> Array:
 class FPN(nn.Module):
     out_channels: int = 256
     dtype: Any = jnp.bfloat16
+    quant: str = "off"  # config.quant_mode (see models/quant.py)
 
     @nn.compact
     def __call__(self, endpoints: Dict[str, Array]) -> Tuple[List[Array], List[Array]]:
         d = self.dtype
         c2, c3, c4, c5 = (endpoints[k].astype(d) for k in ("C2", "C3", "C4", "C5"))
 
-        lat = lambda name: nn.Conv(self.out_channels, (1, 1), dtype=d, name=name)
-        out = lambda name: nn.Conv(
-            self.out_channels, (3, 3), padding="SAME", dtype=d, name=name
-        )
+        def qconv(name, ksize):
+            """nn.Conv, or its calibrated int8 twin (param paths unchanged)."""
+
+            def apply(x):
+                if self.quant == "calib":
+                    amax = self.variable(
+                        "quant", f"{name}_x_amax", lambda: jnp.zeros((), jnp.float32)
+                    )
+                    amax.value = jnp.maximum(
+                        amax.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+                    )
+                if self.quant == "int8":
+                    from maskrcnn_tf2_tpu.models.quant import Int8Conv
+
+                    amax = self.variable(
+                        "quant", f"{name}_x_amax", lambda: jnp.zeros((), jnp.float32)
+                    )
+                    return Int8Conv(
+                        self.out_channels, ksize, use_bias=True, dtype=d, name=name
+                    )(x, amax.value)
+                return nn.Conv(
+                    self.out_channels, ksize, padding="SAME", dtype=d, name=name
+                )(x)
+
+            return apply
+
+        lat = lambda name: qconv(name, (1, 1))
+        out = lambda name: qconv(name, (3, 3))
 
         p5 = lat("fpn_c5p5")(c5)
         p4 = lat("fpn_c4p4")(c4) + _upsample2x_nearest(p5)

@@ -84,11 +84,14 @@ class MaskRCNN(nn.Module):
             bn_axis=bn_axis,
             quant=cfg.quant_mode,
         )
-        self.fpn = FPN(out_channels=cfg.top_down_pyramid_size, dtype=d)
+        self.fpn = FPN(
+            out_channels=cfg.top_down_pyramid_size, dtype=d, quant=cfg.quant_mode
+        )
         self.rpn = RPNHead(
             anchors_per_location=cfg.anchors_per_location,
             conv_channels=512,
             dtype=d,
+            quant=cfg.quant_mode,
         )
         self.classifier = FPNClassifierHead(
             num_classes=cfg.num_classes,

@@ -44,6 +44,8 @@ class RPNHead(nn.Module):
     anchors_per_location: int = 3
     conv_channels: int = 512
     dtype: Any = jnp.bfloat16
+    quant: str = "off"  # config.quant_mode: shared 3x3 conv only (preds are
+    # folded 1x1s over the shared feature and stay bf16)
 
     @nn.compact
     def __call__(self, features: List[Array], mode: str = "dense"):
@@ -64,9 +66,36 @@ class RPNHead(nn.Module):
         """
         d = self.dtype
         k = self.anchors_per_location
-        shared_conv = nn.Conv(
-            self.conv_channels, (3, 3), padding="SAME", dtype=d, name="rpn_conv_shared"
-        )
+        if self.quant in ("calib", "int8"):
+            # One running amax shared across pyramid levels — the head is
+            # weight-shared, so its quantized twin shares the input scale
+            # too (per-tensor symmetric; levels have comparable FPN ranges).
+            q_amax = self.variable(
+                "quant", "rpn_conv_shared_x_amax", lambda: jnp.zeros((), jnp.float32)
+            )
+        if self.quant == "int8":
+            from maskrcnn_tf2_tpu.models.quant import Int8Conv
+
+            _int8_shared = Int8Conv(
+                self.conv_channels, (3, 3), use_bias=True, dtype=d,
+                name="rpn_conv_shared",
+            )
+
+            def shared_conv(f):
+                return _int8_shared(f, q_amax.value)
+
+        else:
+            _shared = nn.Conv(
+                self.conv_channels, (3, 3), padding="SAME", dtype=d,
+                name="rpn_conv_shared",
+            )
+
+            def shared_conv(f):
+                if self.quant == "calib":
+                    q_amax.value = jnp.maximum(
+                        q_amax.value, jnp.max(jnp.abs(f.astype(jnp.float32)))
+                    )
+                return _shared(f)
         # The class and bbox heads are 1x1 convs over the SAME 512-wide shared
         # feature — applied separately, each re-reads it from HBM (~1 GB at
         # P2/b16: the two reads were ~3.4 ms/batch on v5e). Concatenating the

@@ -56,6 +56,15 @@ def main():
         lambda r: model.init({"params": r}, images, meta, train=False)
     )(jax.random.PRNGKey(0))
 
+    if os.environ.get("QUANT", "") == "1":  # profile the int8 PTQ graph
+        from maskrcnn_tf2_tpu.export.quantize import quantize_for_inference
+
+        cfg, variables = quantize_for_inference(
+            cfg, dict(variables), [(images, meta)]
+        )
+        model = MaskRCNN(cfg)
+        print("profiling quant_mode=int8 graph", flush=True)
+
     def infer(images, meta):
         out = model.apply(variables, images, meta, train=False)
         return out["detections"], out["mrcnn_masks"]

@@ -13,7 +13,8 @@ import numpy as np
 import pytest
 
 from maskrcnn_tf2_tpu.config import MaskRCNNConfig
-from maskrcnn_tf2_tpu.models.backbones.resnet import ResNet, RESNET_VARIANTS, _Int8Conv
+from maskrcnn_tf2_tpu.models.backbones.resnet import ResNet, RESNET_VARIANTS
+from maskrcnn_tf2_tpu.models.quant import Int8Conv as _Int8Conv
 
 CFG = MaskRCNNConfig(
     image_shape=(96, 96, 3),
@@ -114,6 +115,10 @@ def test_quantize_for_inference_end_to_end():
 
     qcfg, qvars = quantize_for_inference(CFG, variables, [(images, meta)])
     assert qcfg.quant_mode == "int8"
+    # backbone block convs + 8 FPN convs + the RPN shared conv all calibrated
+    assert "backbone" in qvars["quant"] and "fpn" in qvars["quant"]
+    assert "rpn_conv_shared_x_amax" in qvars["quant"]["rpn"]
+    assert len(qvars["quant"]["fpn"]) == 8
     qmodel = MaskRCNN(qcfg)
     out = qmodel.apply(qvars, images, meta, train=False)
     assert np.isfinite(np.asarray(out["detections"])).all()
