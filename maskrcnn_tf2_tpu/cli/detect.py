@@ -29,6 +29,13 @@ def main(argv=None):
     p.add_argument("--checkpoints_dir", default="logs")
     p.add_argument("--images", nargs="+", required=True)
     p.add_argument("--out", default=None, help="directory for JSON + overlays")
+    p.add_argument(
+        "--int8",
+        action="store_true",
+        help="int8 post-training quantization (the TPU TRT-int8 analog): "
+        "calibrates activation scales on the input images, then serves the "
+        "quantized graph (~1.25x throughput, AP-neutral — see STATUS.md)",
+    )
     args = p.parse_args(argv)
 
     cfg = MaskRCNNConfig(
@@ -45,7 +52,21 @@ def main(argv=None):
     if epoch == 0:
         print("WARNING: no checkpoint found — using random weights")
 
-    pred = Predictor(cfg, {"params": state.params, "batch_stats": state.batch_stats})
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.int8:
+        import jax.numpy as jnp
+
+        from maskrcnn_tf2_tpu.export.inference import process_input
+        from maskrcnn_tf2_tpu.export.quantize import quantize_for_inference
+
+        def calib_batches():
+            for path in args.images:
+                img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+                m, meta = process_input(img, cfg, image_id=0)
+                yield jnp.asarray(m[None]), jnp.asarray(meta[None])
+
+        cfg, variables = quantize_for_inference(cfg, variables, calib_batches())
+    pred = Predictor(cfg, variables)
     for path in args.images:
         img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
         r = pred.detect([img])[0]
