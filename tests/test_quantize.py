@@ -67,6 +67,34 @@ def test_int8_conv_matches_oracle():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_int8_conv_bias_and_groups():
+    """The FPN/RPN path uses bias=True; ResNeXt uses grouped convs."""
+    rs = np.random.RandomState(3)
+    x = rs.randn(1, 6, 6, 8).astype(np.float32)
+    m = _Int8Conv(features=8, kernel=(1, 1), groups=4, use_bias=True,
+                  dtype=jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.float32(1.0))
+    w = np.asarray(variables["params"]["kernel"])  # [1,1,2,8]
+    bias = rs.randn(8).astype(np.float32)
+    variables = {"params": {"kernel": w, "bias": bias}}
+    amax = np.abs(x).max()
+    got = np.asarray(m.apply(variables, jnp.asarray(x), jnp.float32(amax)))
+
+    sx = max(amax, 1e-6) / 127.0
+    xq = np.clip(np.round(x / sx), -127, 127).astype(np.int32)
+    sw = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-12) / 127.0
+    wq = np.round(w / sw).astype(np.int32)
+    ref = np.zeros((1, 6, 6, 8), np.int32)
+    for g in range(4):  # feature_group_count=4: out group g reads in group g
+        ref[..., 2 * g : 2 * g + 2] = np.einsum(
+            "bhwc,cf->bhwf",
+            xq[..., 2 * g : 2 * g + 2],
+            wq[0, 0, :, 2 * g : 2 * g + 2],
+        )
+    want = ref.astype(np.float32) * (sx * sw) + bias
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_backbone_calib_then_int8_close_to_float():
     rs = np.random.RandomState(1)
     x = jnp.asarray(rs.randn(1, 64, 64, 3).astype(np.float32))
