@@ -206,6 +206,11 @@ class MaskRCNNConfig:
     # dequant fused by XLA into the eval-mode BN epilogue. Inference-only
     # (the train step rejects it); ResNet-family backbones.
     quant_mode: str = "off"  # off | calib | int8
+    # Extend quant_mode to the mask head's four 3x3 convs. Opt-in while its
+    # win/AP cost is being characterized (r50/r101 mask head = ~12-15 ms of
+    # the 182 ms int8 step; small 14x14 spatial may not amortize the
+    # quantize passes — measure before defaulting on).
+    quant_mask_head: bool = False
     debug_nans: bool = False
     # Non-finite update guard: "loss" checks the scalar total loss (the
     # reference's check_loss_nan semantics, model.py:64-84 — O(1) cost),

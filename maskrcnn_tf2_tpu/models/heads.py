@@ -163,6 +163,7 @@ class FPNMaskHead(nn.Module):
     leaky_relu: bool = False
     dtype: Any = jnp.bfloat16
     bn_axis: Any = None
+    quant: str = "off"  # config.quant_mode when config.quant_mask_head
 
     @nn.compact
     def __call__(
@@ -177,10 +178,25 @@ class FPNMaskHead(nn.Module):
         x = roi_features.reshape(b * n, p, p, c).astype(d)
 
         for i in range(1, 5):
-            x = nn.Conv(
-                self.conv_channels, (3, 3), padding="SAME", dtype=d,
-                name=f"mrcnn_mask_conv{i}",
-            )(x)
+            name = f"mrcnn_mask_conv{i}"
+            if self.quant in ("calib", "int8"):
+                amax = self.variable(
+                    "quant", f"{name}_x_amax", lambda: jnp.zeros((), jnp.float32)
+                )
+            if self.quant == "calib":
+                amax.value = jnp.maximum(
+                    amax.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+                )
+            if self.quant == "int8":
+                from maskrcnn_tf2_tpu.models.quant import Int8Conv
+
+                x = Int8Conv(
+                    self.conv_channels, (3, 3), use_bias=True, dtype=d, name=name
+                )(x, amax.value)
+            else:
+                x = nn.Conv(
+                    self.conv_channels, (3, 3), padding="SAME", dtype=d, name=name
+                )(x)
             x = _bn(f"mrcnn_mask_bn{i}", train_bn, d, self.bn_axis)(x)
             x = act(x)
 

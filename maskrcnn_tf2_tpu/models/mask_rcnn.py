@@ -107,6 +107,7 @@ class MaskRCNN(nn.Module):
             leaky_relu=cfg.mask_head_leaky_relu,
             dtype=d,
             bn_axis=bn_axis,
+            quant=cfg.quant_mode if cfg.quant_mask_head else "off",
         )
 
     # ------------------------------------------------------------------

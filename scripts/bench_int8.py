@@ -54,6 +54,7 @@ def main():
         compute_dtype="bfloat16",
         image_min_dim=image_size,
         image_max_dim=image_size,
+        quant_mask_head=os.environ.get("QUANT_MASK", "") == "1",
     )
     model = MaskRCNN(cfg)
     h = w = image_size
