@@ -211,6 +211,13 @@ class MaskRCNNConfig:
     # the 182 ms int8 step; small 14x14 spatial may not amortize the
     # quantize passes — measure before defaulting on).
     quant_mask_head: bool = False
+    # Extend quant_mode to the classifier head's two wide FC layers
+    # (mrcnn_class_conv1: 12544x1024 on every ROI row, conv2: 1024x1024).
+    # MEASURED NEUTRAL (R101@1024 b32 v5e: 176.0 vs 176.1 img/s): the int8
+    # quantize pass re-reads the ~800 MB pooled-ROI tensor, canceling the
+    # ~2 ms MXU saving of the 5 ms FC1. Kept opt-in (same policy as
+    # quant_mask_head); don't default on without re-measuring.
+    quant_classifier: bool = False
     debug_nans: bool = False
     # Non-finite update guard: "loss" checks the scalar total loss (the
     # reference's check_loss_nan semantics, model.py:64-84 — O(1) cost),

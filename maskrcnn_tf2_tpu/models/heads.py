@@ -76,6 +76,19 @@ class FPNClassifierHead(nn.Module):
     leaky_relu: bool = False
     dtype: Any = jnp.bfloat16
     bn_axis: Any = None
+    quant: str = "off"  # config.quant_mode when config.quant_classifier
+
+    def _amax(self, name: str, x: Array):
+        """Calibrated input amax for the quantized twins ('quant' collection,
+        same calib pattern as models/fpn.py::FPN.qconv)."""
+        v = self.variable(
+            "quant", f"{name}_x_amax", lambda: jnp.zeros((), jnp.float32)
+        )
+        if self.quant == "calib":
+            v.value = jnp.maximum(
+                v.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+            )
+        return v.value
 
     @nn.compact
     def __call__(self, roi_features: Array, train_bn: bool = False):
@@ -86,12 +99,28 @@ class FPNClassifierHead(nn.Module):
         # conv after it) are plain dense layers once ROIs are flattened —
         # one large MXU matmul instead of a degenerate convolution (which
         # also compiles pathologically slowly on TPU).
-        x = _FCOnPooled(self.fc_size, dtype=d, name="mrcnn_class_conv1")(
-            roi_features
-        ).reshape(b * n, self.fc_size)
+        if self.quant in ("calib", "int8"):
+            a1 = self._amax("mrcnn_class_conv1", roi_features)
+        if self.quant == "int8":
+            from maskrcnn_tf2_tpu.models.quant import Int8FCOnPooled
+
+            x = Int8FCOnPooled(self.fc_size, dtype=d, name="mrcnn_class_conv1")(
+                roi_features, a1
+            ).reshape(b * n, self.fc_size)
+        else:
+            x = _FCOnPooled(self.fc_size, dtype=d, name="mrcnn_class_conv1")(
+                roi_features
+            ).reshape(b * n, self.fc_size)
         x = _bn("mrcnn_class_bn1", train_bn, d, self.bn_axis)(x)
         x = act(x)
-        x = nn.Dense(self.fc_size, dtype=d, name="mrcnn_class_conv2")(x)
+        if self.quant in ("calib", "int8"):
+            a2 = self._amax("mrcnn_class_conv2", x)
+        if self.quant == "int8":
+            from maskrcnn_tf2_tpu.models.quant import Int8Dense
+
+            x = Int8Dense(self.fc_size, dtype=d, name="mrcnn_class_conv2")(x, a2)
+        else:
+            x = nn.Dense(self.fc_size, dtype=d, name="mrcnn_class_conv2")(x)
         x = _bn("mrcnn_class_bn2", train_bn, d, self.bn_axis)(x)
         x = act(x)
         shared = x

@@ -100,6 +100,7 @@ class MaskRCNN(nn.Module):
             leaky_relu=cfg.cls_head_leaky_relu,
             dtype=d,
             bn_axis=bn_axis,
+            quant=cfg.quant_mode if cfg.quant_classifier else "off",
         )
         self.mask_head = FPNMaskHead(
             num_classes=cfg.num_classes,

@@ -7,9 +7,10 @@ contracts int8 x int8 -> int32 at ~1.6x the bf16 rate with identical dequant
 epilogues (259.8 vs 159.6 TOP/s conv, scripts/microbench_int8.py).
 
 Used by the ResNet backbone (models/backbones/resnet.py::ConvBN), the FPN
-convs (models/fpn.py) and the RPN shared conv (models/rpn.py); calibration
-scales are collected by the same modules in ``quant_mode='calib'`` (see
-export/quantize.py for the flow).
+convs (models/fpn.py), the RPN shared conv (models/rpn.py) and — behind
+``config.quant_classifier`` — the classifier head's two wide FC layers
+(models/heads.py); calibration scales are collected by the same modules in
+``quant_mode='calib'`` (see export/quantize.py for the flow).
 """
 
 from __future__ import annotations
@@ -80,4 +81,82 @@ class Int8Conv(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+def _quantize_input(x: Array, x_amax: Array) -> Tuple[Array, Array]:
+    """Symmetric per-tensor int8 quantization from a calibrated amax."""
+    sx = jnp.maximum(x_amax.astype(jnp.float32), 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127.0, 127.0).astype(
+        jnp.int8
+    )
+    return xq, sx
+
+
+class Int8Dense(nn.Module):
+    """Int8 drop-in for ``nn.Dense`` — identical param tree (``kernel
+    [K, F]``, ``bias [F]``, same names/initializers), so the quantized graph
+    applies the UNCHANGED trained checkpoint. Same TRT-style scales as
+    Int8Conv: per-tensor input (calibrated amax), per-output-channel weight.
+
+    int32 accumulation is exact for every use here: |acc| <= K * 127^2
+    (K=12544 for the pooled FC -> 2.0e8 < 2^31).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, x_amax: Array) -> Array:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+        )
+        xq, sx = _quantize_input(x, x_amax)
+        wf = kernel.astype(jnp.float32)
+        sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-12) / 127.0
+        wq = jnp.round(wf / sw).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xq,
+            wq,
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (sx * sw)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+class Int8FCOnPooled(nn.Module):
+    """Int8 twin of ``heads._FCOnPooled`` (Dense over a pooled ``(P, P, C)``
+    ROI patch contracted directly by dot_general, no big-tensor flatten) —
+    identical param tree (``kernel [P*P*C, F]``, ``bias [F]``)."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, x_amax: Array) -> Array:
+        _, _, p, _, c = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (p * p * c, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        xq, sx = _quantize_input(x, x_amax)
+        wf = kernel.reshape(p, p, c, self.features).astype(jnp.float32)
+        sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-12) / 127.0
+        wq = jnp.round(wf / sw).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xq,
+            wq,
+            (((2, 3, 4), (0, 1, 2)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (sx * sw) + bias.astype(jnp.float32)
         return y.astype(self.dtype)

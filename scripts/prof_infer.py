@@ -57,13 +57,24 @@ def main():
     )(jax.random.PRNGKey(0))
 
     if os.environ.get("QUANT", "") == "1":  # profile the int8 PTQ graph
+        import dataclasses
+
         from maskrcnn_tf2_tpu.export.quantize import quantize_for_inference
 
+        cfg = dataclasses.replace(
+            cfg,
+            quant_classifier=os.environ.get("QUANT_CLS", "") == "1",
+            quant_mask_head=os.environ.get("QUANT_MASK", "") == "1",
+        )
         cfg, variables = quantize_for_inference(
             cfg, dict(variables), [(images, meta)]
         )
         model = MaskRCNN(cfg)
-        print("profiling quant_mode=int8 graph", flush=True)
+        print(
+            f"profiling quant_mode=int8 graph (cls={cfg.quant_classifier} "
+            f"mask={cfg.quant_mask_head})",
+            flush=True,
+        )
 
     def infer(images, meta):
         out = model.apply(variables, images, meta, train=False)

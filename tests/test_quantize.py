@@ -153,6 +153,75 @@ def test_quantize_for_inference_end_to_end():
     assert out["detections"].shape == (1, CFG.detection_max_instances, 6)
 
 
+def test_int8_dense_matches_oracle():
+    from maskrcnn_tf2_tpu.models.quant import Int8Dense
+
+    rs = np.random.RandomState(5)
+    x = rs.randn(7, 48).astype(np.float32) * 2.0
+    m = Int8Dense(features=32, dtype=jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.float32(1.0))
+    w = np.asarray(variables["params"]["kernel"])
+    bias = rs.randn(32).astype(np.float32)
+    variables = {"params": {"kernel": w, "bias": bias}}
+    amax = np.abs(x).max()
+    got = np.asarray(m.apply(variables, jnp.asarray(x), jnp.float32(amax)))
+
+    sx = max(amax, 1e-6) / 127.0
+    xq = np.clip(np.round(x / sx), -127, 127).astype(np.int32)
+    sw = np.maximum(np.abs(w).max(axis=0), 1e-12) / 127.0
+    wq = np.round(w / sw).astype(np.int32)
+    want = (xq @ wq).astype(np.float32) * (sx * sw) + bias
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_fc_on_pooled_matches_flat_dense():
+    """Int8FCOnPooled contracting (P, P, C) directly == Int8Dense on the
+    flattened rows (same kernel layout, so checkpoints interchange)."""
+    from maskrcnn_tf2_tpu.models.quant import Int8Dense, Int8FCOnPooled
+
+    rs = np.random.RandomState(6)
+    x = rs.randn(2, 3, 5, 5, 8).astype(np.float32)
+    m = Int8FCOnPooled(features=16, dtype=jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.float32(1.0))
+    amax = np.float32(np.abs(x).max())
+    got = np.asarray(m.apply(variables, jnp.asarray(x), jnp.float32(amax)))
+
+    flat = Int8Dense(features=16, dtype=jnp.float32)
+    want = np.asarray(
+        flat.apply(variables, jnp.asarray(x.reshape(2 * 3, -1)), jnp.float32(amax))
+    )
+    np.testing.assert_allclose(got.reshape(6, 16), want, rtol=1e-5, atol=1e-5)
+
+
+def test_quant_classifier_end_to_end():
+    """quant_classifier=True: calib records both FC amaxes, int8 forward is
+    finite and param-compatible (same variables dict)."""
+    import dataclasses as _dc
+
+    from maskrcnn_tf2_tpu.export.quantize import quantize_for_inference
+    from maskrcnn_tf2_tpu.models import MaskRCNN
+
+    cfg = _dc.replace(CFG, quant_classifier=True)
+    rs = np.random.RandomState(7)
+    model = MaskRCNN(cfg)
+    images = jnp.asarray(rs.rand(1, 96, 96, 3).astype(np.float32) * 255.0)
+    meta = jnp.zeros((1, cfg.meta_size), jnp.float32)
+    meta = meta.at[0, 4:7].set(jnp.asarray([96.0, 96.0, 3.0]))
+    meta = meta.at[0, 7:11].set(jnp.asarray([0.0, 0.0, 96.0, 96.0]))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        images,
+        meta,
+        train=False,
+    )
+    qcfg, qvars = quantize_for_inference(cfg, dict(variables), [(images, meta)])
+    clf = qvars["quant"]["classifier"]
+    assert float(clf["mrcnn_class_conv1_x_amax"]) > 0
+    assert float(clf["mrcnn_class_conv2_x_amax"]) > 0
+    out = MaskRCNN(qcfg).apply(qvars, images, meta, train=False)
+    assert np.isfinite(np.asarray(out["detections"])).all()
+
+
 def test_train_step_rejects_quant():
     from maskrcnn_tf2_tpu.train.train_step import make_train_step
 
