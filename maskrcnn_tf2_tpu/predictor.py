@@ -2,13 +2,18 @@
 
 The reference's inference flow is notebook glue (process_input -> inference
 graph -> reformat_detections, SURVEY §3.2); here it is a first-class
-batched, jit-cached predictor.
+batched, jit-cached predictor, plus a pipelined streaming path
+(``detect_stream``) that overlaps host preprocessing, async device compute,
+and host unmolding — the serving-throughput mode the reference's
+TRT-engine deployment leaves to the user.
 """
 
 from __future__ import annotations
 
+import itertools
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
-from typing import Dict, List
+from typing import Dict, Iterable, Iterator, List
 
 import jax
 import jax.numpy as jnp
@@ -103,3 +108,75 @@ class Predictor:
                 )
             )
         return results
+
+    # ------------------------------------------------------------------
+    def detect_stream(
+        self,
+        images: Iterable[np.ndarray],
+        batch_size: int = 8,
+        depth: int = 2,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Pipelined detection over an image stream, one result dict per
+        input image, in order.
+
+        Three stages run concurrently: (1) ``process_input`` preprocessing
+        on a worker thread, (2) device compute — JAX dispatch is async, so
+        up to ``depth`` batches are in flight on the device while (3) the
+        main thread fetches and unmolds the oldest finished batch. The last
+        (ragged) batch is padded to ``batch_size`` — shapes stay fixed, so
+        there is exactly ONE compiled graph.
+        """
+        if batch_size % self.num_devices:
+            raise ValueError(
+                f"batch_size={batch_size} must be a multiple of "
+                f"num_devices={self.num_devices} for data-parallel serving"
+            )
+
+        def _prep(chunk):
+            molded, metas, originals = [], [], []
+            for i, img in enumerate(chunk):
+                m, meta = process_input(img, self.config, image_id=i)
+                molded.append(m)
+                metas.append(meta)
+                originals.append(img.shape)
+            n_real = len(molded)
+            while len(molded) < batch_size:  # fixed-shape pad
+                molded.append(np.zeros_like(molded[0]))
+                metas.append(metas[-1])
+            return np.stack(molded), np.stack(metas), originals, n_real
+
+        def _chunks():
+            it = iter(images)
+            while True:
+                chunk = list(itertools.islice(it, batch_size))
+                if not chunk:
+                    return
+                yield chunk
+
+        def _drain(entry):
+            (detections, masks), metas, originals, n_real = entry
+            detections = np.asarray(detections)  # sync point
+            masks = np.asarray(masks)
+            for i in range(n_real):
+                yield unmold_detections(
+                    detections[i],
+                    masks[i],
+                    originals[i],
+                    self.config.image_shape,
+                    metas[i][7:11],
+                )
+
+        inflight: List = []
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            prepped = pool.map(_prep, _chunks())  # stage 1 runs ahead
+            for batch_images, batch_meta, originals, n_real in prepped:
+                out = self._infer(
+                    self.variables,
+                    jnp.asarray(batch_images),
+                    jnp.asarray(batch_meta),
+                )  # async dispatch — returns immediately
+                inflight.append((out, batch_meta, originals, n_real))
+                if len(inflight) > depth:
+                    yield from _drain(inflight.pop(0))
+            for entry in inflight:
+                yield from _drain(entry)

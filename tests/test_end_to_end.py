@@ -105,6 +105,26 @@ def test_map_plumbing(trained):
     assert 0.0 <= ap <= 1.0
 
 
+def test_detect_stream_matches_detect(trained):
+    """Pipelined streaming serving == the plain batched path, in order,
+    including the ragged final batch (5 images, batch_size=2)."""
+    ds, state, _ = trained
+    pred = Predictor(CFG, {"params": state.params, "batch_stats": state.batch_stats})
+    images = [ds.load_image(i % 4) for i in range(5)]
+    # oracle with the SAME fixed batch shape (the stream pads the ragged
+    # final chunk to batch_size, and per-image results are batch-element
+    # independent — same compiled graph => bit-exact)
+    want = pred.detect(images[0:2]) + pred.detect(images[2:4])
+    want += pred.detect([images[4], images[0]])[:1]
+    got = list(pred.detect_stream(iter(images), batch_size=2, depth=2))
+    assert len(got) == 5
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g["rois"], w["rois"])
+        np.testing.assert_array_equal(g["class_ids"], w["class_ids"])
+        np.testing.assert_allclose(g["scores"], w["scores"], rtol=1e-6)
+        np.testing.assert_array_equal(g["masks"], w["masks"])
+
+
 def test_data_parallel_predictor(trained):
     import jax
 
