@@ -24,6 +24,17 @@ from maskrcnn_tf2_tpu.export.inference import process_input, unmold_detections
 from maskrcnn_tf2_tpu.models import MaskRCNN
 
 
+def _gather_class_masks(out) -> jnp.ndarray:
+    """[B, D, mh, mw, C] per-class masks -> [B, D, mh, mw] at each
+    detection's own class — exact indexing, done ON DEVICE so the
+    device->host fetch shrinks by the class count (81x for COCO)."""
+    masks = out["mrcnn_masks"]
+    cls = out["detections"][..., 4].astype(jnp.int32)  # [B, D]
+    return jnp.take_along_axis(
+        masks, cls[:, :, None, None, None], axis=-1
+    )[..., 0]
+
+
 class Predictor:
     """Batched fixed-shape inference with host unmolding.
 
@@ -56,14 +67,14 @@ class Predictor:
             )
             def _infer(variables, images, meta):
                 out = self.model.apply(variables, images, meta, train=False)
-                return out["detections"], out["mrcnn_masks"]
+                return out["detections"], _gather_class_masks(out)
 
         else:
 
             @jax.jit
             def _infer(variables, images, meta):
                 out = self.model.apply(variables, images, meta, train=False)
-                return out["detections"], out["mrcnn_masks"]
+                return out["detections"], _gather_class_masks(out)
 
         self.variables = variables
         self._infer = _infer
