@@ -114,11 +114,17 @@ def main():
         lambda r: model.init({"params": r}, images, meta, train=False)
     )(jax.random.PRNGKey(0))
 
+    from maskrcnn_tf2_tpu.utils.platform import inference_compiler_options
+
+    copts = inference_compiler_options()
+
     def infer(images, meta):
         out = model.apply(variables, images, meta, train=False)
         return out["detections"], out["mrcnn_masks"]
 
-    compiled_infer = jax.jit(infer).lower(images, meta).compile()
+    compiled_infer = (
+        jax.jit(infer, compiler_options=copts).lower(images, meta).compile()
+    )
     infer_flops = _flops_of(compiled_infer)
     jax.block_until_ready(compiled_infer(images, meta))  # warmup
 
@@ -164,7 +170,9 @@ def main():
             out = qmodel.apply(qvars, images, meta, train=False)
             return out["detections"], out["mrcnn_masks"]
 
-        compiled_q = jax.jit(infer_q).lower(images, meta).compile()
+        compiled_q = (
+            jax.jit(infer_q, compiler_options=copts).lower(images, meta).compile()
+        )
         jax.block_until_ready(compiled_q(images, meta))  # warmup
         best_qdt = float("inf")
         for _ in range(windows):

@@ -45,8 +45,10 @@ class Predictor:
 
     def __init__(self, config: MaskRCNNConfig, variables, data_parallel: bool = False):
         from maskrcnn_tf2_tpu.utils.compile_cache import enable as enable_cache
+        from maskrcnn_tf2_tpu.utils.platform import inference_compiler_options
 
         enable_cache()
+        copts = inference_compiler_options()
         self.config = config
         self.model = MaskRCNN(config)
         self.mesh = None
@@ -64,6 +66,7 @@ class Predictor:
                 jax.jit,
                 in_shardings=(replicated, batch_sharding, batch_sharding),
                 out_shardings=(batch_sharding, batch_sharding),
+                compiler_options=copts,
             )
             def _infer(variables, images, meta):
                 out = self.model.apply(variables, images, meta, train=False)
@@ -71,7 +74,7 @@ class Predictor:
 
         else:
 
-            @jax.jit
+            @partial(jax.jit, compiler_options=copts)
             def _infer(variables, images, meta):
                 out = self.model.apply(variables, images, meta, train=False)
                 return out["detections"], _gather_class_masks(out)

@@ -36,6 +36,19 @@ def on_tpu() -> bool:
         return False
 
 
+def inference_compiler_options() -> dict:
+    """Per-jit XLA options for the TPU inference graph.
+
+    ``scoped_vmem_limit_kib=32768`` (double the v5e default) lets the fusion
+    cost model keep larger conv+elementwise fusions VMEM-resident — measured
+    +2.3% on the flagship graph (R101@1024 b32: 228.7 -> 223.6 ms/batch,
+    scripts/sweep_xla_options.py; latency-hiding scheduler and 48 MB were
+    neutral). Empty off-TPU (XLA:CPU rejects unknown tpu options)."""
+    if on_tpu():
+        return {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+    return {}
+
+
 def pallas_allowed() -> bool:
     """False while inside a ``no_pallas()`` scope (checked by the NMS and
     ROIAlign gates in addition to their own env overrides)."""
