@@ -36,6 +36,17 @@ def main(argv=None):
         "calibrates activation scales on the input images, then serves the "
         "quantized graph (~1.25x throughput, AP-neutral — see STATUS.md)",
     )
+    p.add_argument(
+        "--build_engine",
+        default=None,
+        metavar="PATH",
+        help="AOT-compile the inference graph and serialize the executable "
+        "to PATH (the TRT-engine-build analog: zero compilation at serving "
+        "time; backend-pinned), then exit",
+    )
+    p.add_argument(
+        "--engine_batch", type=int, default=1, help="batch size baked into --build_engine"
+    )
     args = p.parse_args(argv)
 
     cfg = MaskRCNNConfig(
@@ -66,6 +77,12 @@ def main(argv=None):
                 yield jnp.asarray(m[None]), jnp.asarray(meta[None])
 
         cfg, variables = quantize_for_inference(cfg, variables, calib_batches())
+    if args.build_engine:
+        from maskrcnn_tf2_tpu.export.engine import build_engine
+
+        out = build_engine(cfg, variables, args.build_engine, batch_size=args.engine_batch)
+        print(f"engine written: {out} (batch={args.engine_batch})")
+        return
     pred = Predictor(cfg, variables)
     for path in args.images:
         img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)

@@ -35,7 +35,12 @@ def make_manager(config: MaskRCNNConfig, base: Optional[str] = None, max_to_keep
         else None,
         best_mode="min" if config.save_best_only else "max",
     )
-    return ocp.CheckpointManager(path, options=options)
+    # item_handlers: a FRESH manager (resume in a new process) cannot read
+    # item_metadata without a registered handler — it returns None and resume
+    # with an extra payload would break.
+    return ocp.CheckpointManager(
+        path, options=options, item_handlers=ocp.StandardCheckpointHandler()
+    )
 
 
 def save(manager, state: TrainState, epoch: int, metrics: dict, extra: Optional[dict] = None):
@@ -71,7 +76,11 @@ def restore(
         # Ask the checkpoint whether it carries the extra payload instead of
         # trying and swallowing exceptions (which would also mask genuine
         # corruption / shape mismatches as "old checkpoint").
-        saved_keys = set(manager.item_metadata(target).keys())
+        meta = manager.item_metadata(target)
+        # same-session managers return a dict-like; fresh ones a
+        # StandardCheckpointMetadata whose pytree lives under .tree
+        tree = getattr(meta, "tree", meta)
+        saved_keys = set(tree.keys()) if tree is not None else set()
         if "extra" in saved_keys:
             template["extra"] = {
                 k: float(v) for k, v in extra_template.items()

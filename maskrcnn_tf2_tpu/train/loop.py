@@ -182,6 +182,32 @@ def train_model(
         eval_step = jax.jit(make_eval_step(config))
         place = lambda b: b
 
+    # Preemption-safe checkpointing (aux subsystem the reference lacks —
+    # its only recovery is manual resume, training.py:105-111): TPU VMs get
+    # SIGTERM ahead of maintenance/preemption; checkpoint after the in-flight
+    # step and return cleanly so `resume=True` continues from here. Installed
+    # single-process only (multi-host saves are collective; a one-host signal
+    # would deadlock the slice — there, rely on the per-epoch checkpoints).
+    import signal as _signal
+
+    preempt = {"hit": False}
+    _prev_handlers = {}
+    if n_proc == 1:
+
+        def _mark_preempt(signum, frame):
+            preempt["hit"] = True
+            print(f"signal {signum}: checkpointing after the in-flight step")
+
+        for _sig in (_signal.SIGTERM,):
+            try:
+                _prev_handlers[_sig] = _signal.signal(_sig, _mark_preempt)
+            except ValueError:  # not the main thread
+                pass
+
+    def _restore_handlers():
+        for _sig, _h in _prev_handlers.items():
+            _signal.signal(_sig, _h)
+
     global_step = start_epoch * (steps_per_epoch or train_loader.steps_per_epoch)
     for epoch in range(start_epoch, config.epochs):
         t0 = time.time()
@@ -228,10 +254,21 @@ def train_model(
             )
             if metric_writer and spe % config.log_per_steps == 0:
                 metric_writer(global_step, {k: float(v) for k, v in losses.items()})
+            if preempt["hit"]:
+                break
 
         metrics = (
             {k: float(v) / spe for k, v in agg_dev.items()} if agg_dev else {}
         )
+        if preempt["hit"]:
+            # Partial-epoch save: keeps every optimizer step taken so far;
+            # resume starts at the next epoch (the remainder of this data
+            # pass is the price of the preemption, not redone work).
+            ckpt_lib.save(manager, state, epoch, metrics, extra=sched.state_dict())
+            manager.wait_until_finished()
+            _restore_handlers()
+            print(f"preempted at epoch {epoch + 1} step {spe}: checkpoint saved")
+            return state
         # validation (reference test_step path); DP-sharded when a mesh exists
         if val_dataset is not None:
             val_loader = DataLoader(
@@ -278,4 +315,5 @@ def train_model(
             + f"lr={new_lr:.2e} {ips:.2f} img/s"
         )
     manager.wait_until_finished()
+    _restore_handlers()
     return state

@@ -128,3 +128,47 @@ def test_restore_old_checkpoint_without_extra(tmp_path, base_state):
         manager, base_state, extra_template={"lr": 0.0, "best": 0.0, "bad_epochs": 0.0}
     )
     assert start == 1 and extra is None
+
+
+def test_preemption_checkpoints_and_resumes(tmp_path):
+    """SIGTERM mid-training (TPU preemption notice) checkpoints after the
+    in-flight step and returns cleanly; a fresh train_model resumes from the
+    saved epoch (reference recovery is manual resume only, training.py:105)."""
+    import os
+    import signal
+
+    from maskrcnn_tf2_tpu.data.synthetic import SyntheticShapesDataset
+    from maskrcnn_tf2_tpu.train.loop import train_model
+
+    cfg = MaskRCNNConfig(
+        **TINY,
+        checkpoints_dir=str(tmp_path),
+        batch_size=2,
+        epochs=3,
+        log_per_steps=1,
+    )
+    ds = SyntheticShapesDataset()
+    ds.load_shapes(4, 64, 64, seed=5)
+    ds.prepare()
+
+    fired = {"n": 0}
+
+    def send_sigterm(step, metrics):
+        if fired["n"] == 0:  # first step of epoch 0
+            os.kill(os.getpid(), signal.SIGTERM)
+        fired["n"] += 1
+
+    prev = signal.getsignal(signal.SIGTERM)
+    state = train_model(cfg, ds, metric_writer=send_sigterm)
+    assert int(state.step) >= 1
+    # handler restored, checkpoint written for the interrupted epoch 0
+    assert signal.getsignal(signal.SIGTERM) is prev
+    manager = ckpt_lib.make_manager(cfg)
+    assert manager.latest_step() == 0
+    # fired exactly once per executed step before the break (1 step)
+    assert fired["n"] == 1
+
+    # resume: continues at epoch 1 with the preempted state, runs to the end
+    state2 = train_model(cfg, ds, metric_writer=None)
+    manager2 = ckpt_lib.make_manager(cfg)
+    assert manager2.latest_step() == 2  # epochs 1 and 2 completed

@@ -61,6 +61,33 @@ def test_stablehlo_export_roundtrip(tmp_path, exported_model):
     )
 
 
+def test_engine_build_load_roundtrip(tmp_path, exported_model):
+    """AOT engine (serialized compiled executable, the TRT-engine analog)
+    reproduces the jitted graph exactly, including the uint8 serving
+    ingress and on-device class-mask gather."""
+    from maskrcnn_tf2_tpu.export.engine import build_engine, load_engine
+
+    variables, infer, meta = exported_model
+    path = str(tmp_path / "mrcnn.engine")
+    build_engine(CFG, variables, path, batch_size=1)
+    eng = load_engine(path)
+    assert eng.batch_size == 1 and eng.backbone == "resnet18"
+
+    img_u8 = np.random.RandomState(2).randint(
+        0, 256, size=(1, 128, 128, 3), dtype=np.uint8
+    )
+    det_eng, masks_eng = eng(jnp.asarray(img_u8), meta)
+    det_direct, masks_direct = infer(jnp.asarray(img_u8, jnp.float32), meta)
+    assert det_eng.shape == (1, 8, 6)
+    assert masks_eng.shape == (1, 8, 28, 28)  # class-gathered
+    np.testing.assert_allclose(det_eng, np.asarray(det_direct), rtol=1e-5, atol=1e-5)
+    cls = np.asarray(det_direct)[..., 4].astype(np.int64)
+    gathered = np.take_along_axis(
+        np.asarray(masks_direct), cls[:, :, None, None, None], axis=-1
+    )[..., 0]
+    np.testing.assert_allclose(masks_eng, gathered, rtol=1e-5, atol=1e-5)
+
+
 def test_export_onnx_is_cleanly_gated(tmp_path):
     """tf2onnx is not in this image: export_onnx must raise the documented
     gate error (not ImportError from deep inside) without touching TF."""
