@@ -27,7 +27,13 @@ def main(argv=None):
     p.add_argument("--num_classes", type=int, default=81)
     p.add_argument("--img_size", type=int, default=512)
     p.add_argument("--checkpoints_dir", default="logs")
-    p.add_argument("--images", nargs="+", required=True)
+    p.add_argument(
+        "--images",
+        nargs="+",
+        default=None,
+        help="image paths; required unless --build_engine is given without "
+        "--int8 (int8 needs them as the calibration set)",
+    )
     p.add_argument("--out", default=None, help="directory for JSON + overlays")
     p.add_argument(
         "--int8",
@@ -48,6 +54,11 @@ def main(argv=None):
         "--engine_batch", type=int, default=1, help="batch size baked into --build_engine"
     )
     args = p.parse_args(argv)
+    if args.images is None and not (args.build_engine and not args.int8):
+        p.error(
+            "--images is required (only a plain --build_engine run, without "
+            "--int8 calibration, can omit it)"
+        )
 
     cfg = MaskRCNNConfig(
         backbone=args.backbone,

@@ -11,17 +11,29 @@ production compiler options) and serializes the **compiled executable** via
 compilation entirely (the multi-minute cost on large graphs).
 
 Unlike ``export_stablehlo`` (portable, recompiled at load), an engine is
-pinned to the backend it was built for — exactly like a TRT engine is pinned
-to its GPU architecture. Weights travel inside the artifact (as the TRT
-engine's do), passed as runtime arguments so the executable itself stays
-weight-agnostic (``refit``-able, in TRT terms).
+pinned to the backend *and host* it was built for — exactly like a TRT
+engine is pinned to its GPU architecture (per-device builds,
+inference_optimize.py:24-64). ``load_engine`` verifies platform, device
+kind, and host fingerprint and fails with a clear "rebuild on this host"
+error instead of a runtime NOT_FOUND deep inside the executable.
 
-File format: a single pickle stream
-``{meta, variables (numpy pytree), serialized executable, in/out treedefs}``.
+Weights travel inside the artifact (as the TRT engine's do), passed as
+runtime arguments so the executable itself stays weight-agnostic
+(``refit``-able, in TRT terms).
+
+File format (v2): a text header line ``maskrcnn_tf2_tpu.engine.v2 <sha256>``
+followed by a pickle stream ``{meta, variables (numpy pytree), serialized
+executable, in/out treedefs}``. The sha256 of the pickle bytes is verified
+before unpickling, which catches corruption/truncation — it is NOT a
+security boundary. **Engines deserialize with ``pickle`` and must only be
+loaded from trusted sources**: loading an attacker-supplied ``.engine`` file
+is arbitrary code execution (TRT engines are parsed by a runtime instead;
+treat ours like you would a Python wheel, not a data file).
 """
 
 from __future__ import annotations
 
+import hashlib
 import pickle
 from typing import Dict, Optional
 
@@ -29,7 +41,33 @@ import numpy as np
 
 from maskrcnn_tf2_tpu.config import MaskRCNNConfig
 
-_MAGIC = "maskrcnn_tf2_tpu.engine.v1"
+_MAGIC = b"maskrcnn_tf2_tpu.engine.v2"
+
+
+def _fresh_compile(fn, args, compiler_options):
+    """Lower+compile bypassing the persistent compilation cache.
+
+    An executable *restored from the cache* deserializes with missing thunk
+    definitions ("Buffer Definition Event: Function ... not found" at run
+    time on this jaxlib) — only a fresh compile serializes correctly. jax
+    latches cache-enablement once per process (``is_cache_used`` memoizes
+    its decision), so flipping the config flag alone is not enough in a
+    process that already compiled with the cache on (test fixture, detect
+    CLI, warm serving host): we must also ``reset_cache()`` to un-latch the
+    memoized decision, and reset again after restoring the flag so later
+    compiles re-latch with the cache re-enabled.
+    """
+    import jax
+    from jax._src import compilation_cache as _cc
+
+    cache_was_on = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    _cc.reset_cache()
+    try:
+        return jax.jit(fn).lower(*args).compile(compiler_options=compiler_options)
+    finally:
+        jax.config.update("jax_enable_compilation_cache", cache_was_on)
+        _cc.reset_cache()
 
 
 def build_engine(
@@ -50,6 +88,7 @@ def build_engine(
     from jax.experimental import serialize_executable
 
     from maskrcnn_tf2_tpu.models import MaskRCNN
+    from maskrcnn_tf2_tpu.utils.compile_cache import host_fingerprint
     from maskrcnn_tf2_tpu.utils.platform import inference_compiler_options
 
     if compiler_options is None:
@@ -71,25 +110,14 @@ def build_engine(
     images = jnp.zeros((batch_size, h, w, c), jnp.uint8)
     meta = jnp.zeros((batch_size, config.meta_size), jnp.float32)
     host_vars = jax.tree_util.tree_map(np.asarray, variables)
-    # The persistent compilation cache must be bypassed here: an executable
-    # restored from the cache deserializes with missing thunk definitions
-    # ("Buffer Definition Event: Function ... not found" at run time on this
-    # jaxlib). A fresh compile serializes correctly.
-    cache_was_on = jax.config.jax_enable_compilation_cache
-    jax.config.update("jax_enable_compilation_cache", False)
-    try:
-        compiled = (
-            jax.jit(infer)
-            .lower(variables, images, meta)
-            .compile(compiler_options=compiler_options)
-        )
-        serialized, in_tree, out_tree = serialize_executable.serialize(compiled)
-    finally:
-        jax.config.update("jax_enable_compilation_cache", cache_was_on)
+    compiled = _fresh_compile(infer, (variables, images, meta), compiler_options)
+    serialized, in_tree, out_tree = serialize_executable.serialize(compiled)
 
+    dev = jax.devices()[0]
     payload = {
-        "magic": _MAGIC,
-        "platform": jax.devices()[0].platform,
+        "platform": dev.platform,
+        "device_kind": getattr(dev, "device_kind", ""),
+        "host_fp": host_fingerprint(),
         "jax_version": jax.__version__,
         "backbone": config.backbone,
         "batch_size": batch_size,
@@ -102,8 +130,11 @@ def build_engine(
         "in_tree": in_tree,
         "out_tree": out_tree,
     }
+    blob = pickle.dumps(payload, protocol=pickle.HIGHEST_PROTOCOL)
+    digest = hashlib.sha256(blob).hexdigest()
     with open(path, "wb") as f:
-        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+        f.write(_MAGIC + b" " + digest.encode() + b"\n")
+        f.write(blob)
     return path
 
 
@@ -129,22 +160,50 @@ class Engine:
 def load_engine(path: str) -> Engine:
     """Deserialize and load an engine built by :func:`build_engine`.
 
-    Raises a clear error when the artifact targets a different backend —
-    the same contract as TRT engines (arch-pinned)."""
+    Raises a clear error when the artifact targets a different backend,
+    device kind, or host — the same contract as TRT engines (arch-pinned;
+    inference_optimize.py:24-64 builds per-device). Only load engines from
+    trusted sources: the payload is a pickle stream (see module docstring).
+    """
     import jax
     from jax.experimental import serialize_executable
 
+    from maskrcnn_tf2_tpu.utils.compile_cache import host_fingerprint
+
     with open(path, "rb") as f:
-        payload = pickle.load(f)
-    if payload.get("magic") != _MAGIC:
-        raise ValueError(f"{path} is not a maskrcnn_tf2_tpu engine artifact")
-    platform = jax.devices()[0].platform
+        header = f.read(len(_MAGIC) + 66)  # magic + ' ' + 64 hex + '\n'
+        if not header.startswith(_MAGIC + b" "):
+            raise ValueError(f"{path} is not a maskrcnn_tf2_tpu engine artifact")
+        digest = header[len(_MAGIC) + 1 : -1].decode()
+        blob = f.read()
+    if hashlib.sha256(blob).hexdigest() != digest:
+        raise ValueError(f"{path} is corrupt (sha256 mismatch) — rebuild the engine")
+    payload = pickle.loads(blob)
+
+    dev = jax.devices()[0]
+    platform = dev.platform
     if payload["platform"] != platform:
         raise RuntimeError(
             f"engine was built for backend '{payload['platform']}' but this "
             f"process runs '{platform}' — rebuild with build_engine() "
             "(engines are backend-pinned, like TRT engines; use "
             "export_stablehlo for a portable artifact)"
+        )
+    kind = getattr(dev, "device_kind", "")
+    if payload.get("device_kind", kind) != kind:
+        raise RuntimeError(
+            f"engine was built for device kind '{payload['device_kind']}' but "
+            f"this process runs '{kind}' — rebuild with build_engine() on "
+            "this device (engines are device-pinned, like TRT engines)"
+        )
+    # CPU AOT executables embed LLVM target features of the build host;
+    # loading them on a different host fails at run time deep inside the
+    # executable. Refuse up front with an actionable message.
+    if platform == "cpu" and payload.get("host_fp") not in (None, host_fingerprint()):
+        raise RuntimeError(
+            "engine was built on a different host (CPU-feature/jaxlib "
+            "fingerprint mismatch) — rebuild with build_engine() on this "
+            "host (CPU engines are host-pinned)"
         )
     n_dev = payload.get("num_devices", 1)
     loaded = serialize_executable.deserialize_and_load(
