@@ -43,6 +43,33 @@ def make_manager(config: MaskRCNNConfig, base: Optional[str] = None, max_to_keep
     )
 
 
+def make_preempt_manager(config: MaskRCNNConfig, base: Optional[str] = None):
+    """Manager for preemption (partial-epoch) checkpoints — its own subdir,
+    ``max_to_keep=1``, and crucially NO ``best_fn``: a preempted epoch's
+    train-only loss mean over few steps must not compete in best-only
+    ranking (it could be garbage-collected as non-best — silently losing the
+    preempted progress — or spuriously evict a better checkpoint). Resume
+    picks whichever of (main, preempt) manager has the later step."""
+    path = os.path.join(checkpoint_dir(config, base), "preempt")
+    os.makedirs(path, exist_ok=True)
+    return ocp.CheckpointManager(
+        path,
+        options=ocp.CheckpointManagerOptions(max_to_keep=1),
+        item_handlers=ocp.StandardCheckpointHandler(),
+    )
+
+
+def pick_resume_manager(manager, preempt_manager):
+    """The manager holding the newest checkpoint. Ties go to the main
+    manager (its epoch-e checkpoint saw the full epoch; the preempt one is
+    partial)."""
+    main_step = manager.latest_step()
+    pre_step = preempt_manager.latest_step() if preempt_manager else None
+    if pre_step is not None and (main_step is None or pre_step > main_step):
+        return preempt_manager
+    return manager
+
+
 def save(manager, state: TrainState, epoch: int, metrics: dict, extra: Optional[dict] = None):
     """Save state (+ optional host-side ``extra`` payload, e.g. the LR
     plateau scheduler state, so resume reproduces the LR trajectory — the

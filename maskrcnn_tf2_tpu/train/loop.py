@@ -101,10 +101,15 @@ def train_model(
         config.reduce_lr_factor, config.reduce_lr_patience, config.learning_rate
     )
     manager = ckpt_lib.make_manager(config, checkpoint_base)
+    pre_manager = ckpt_lib.make_preempt_manager(config, checkpoint_base)
     start_epoch = 0
     if resume:
+        # Preemption checkpoints live in their own (non-best-ranked) manager;
+        # resume from whichever holds the newest step.
         state, start_epoch, extra = ckpt_lib.restore(
-            manager, state, extra_template=sched.state_dict()
+            ckpt_lib.pick_resume_manager(manager, pre_manager),
+            state,
+            extra_template=sched.state_dict(),
         )
         if extra is not None:
             sched.load_state_dict(extra)
@@ -185,30 +190,54 @@ def train_model(
     # Preemption-safe checkpointing (aux subsystem the reference lacks —
     # its only recovery is manual resume, training.py:105-111): TPU VMs get
     # SIGTERM ahead of maintenance/preemption; checkpoint after the in-flight
-    # step and return cleanly so `resume=True` continues from here. Installed
-    # single-process only (multi-host saves are collective; a one-host signal
-    # would deadlock the slice — there, rely on the per-epoch checkpoints).
+    # step and return cleanly so `resume=True` continues from here. The save
+    # goes through the dedicated preempt manager (no best-only ranking — see
+    # checkpoint.make_preempt_manager). Multi-host: the locally-seen signal
+    # rides the sharded batch as a f32 flag whose max joins the step's fused
+    # all-reduce (train_step.py), so EVERY host sees the same consensus value
+    # for the same step, breaks at the same boundary, and the collective save
+    # proceeds without deadlock even when only one host got the signal.
     import signal as _signal
 
     preempt = {"hit": False}
     _prev_handlers = {}
-    if n_proc == 1:
 
-        def _mark_preempt(signum, frame):
-            preempt["hit"] = True
-            print(f"signal {signum}: checkpointing after the in-flight step")
+    def _mark_preempt(signum, frame):
+        preempt["hit"] = True
+        print(f"signal {signum}: checkpointing after the in-flight step")
 
-        for _sig in (_signal.SIGTERM,):
-            try:
-                _prev_handlers[_sig] = _signal.signal(_sig, _mark_preempt)
-            except ValueError:  # not the main thread
-                pass
+    for _sig in (_signal.SIGTERM,):
+        try:
+            _prev_handlers[_sig] = _signal.signal(_sig, _mark_preempt)
+        except ValueError:  # not the main thread
+            pass
 
     def _restore_handlers():
         for _sig, _h in _prev_handlers.items():
             _signal.signal(_sig, _h)
 
     global_step = start_epoch * (steps_per_epoch or train_loader.steps_per_epoch)
+    try:
+        state = _epoch_loop(
+            config, state, train_loader, val_dataset, train_step, eval_step,
+            place, manager, pre_manager, sched, metric_writer, profile_steps,
+            checkpoint_base, steps_per_epoch, rng, start_epoch, global_step,
+            n_proc, preempt,
+        )
+    finally:
+        # Always un-install the SIGTERM handler — a raise inside the loop
+        # must not leave a no-op handler swallowing SIGTERMs in long-lived
+        # host processes (notebooks, serving wrappers).
+        _restore_handlers()
+    return state
+
+
+def _epoch_loop(
+    config, state, train_loader, val_dataset, train_step, eval_step, place,
+    manager, pre_manager, sched, metric_writer, profile_steps,
+    checkpoint_base, steps_per_epoch, rng, start_epoch, global_step,
+    n_proc, preempt,
+):
     for epoch in range(start_epoch, config.epochs):
         t0 = time.time()
         # Device-side per-step loss accumulation: exact epoch means with no
@@ -238,10 +267,27 @@ def train_model(
                 break
             if profile_steps and global_step == profile_steps[0]:
                 jax.profiler.start_trace(ckpt_lib.checkpoint_dir(config, checkpoint_base))
+            if n_proc > 1:
+                # Multi-host preemption consensus: the locally-seen SIGTERM
+                # rides the sharded batch; its pmean comes back in `losses`
+                # (fused into the step's single all-reduce, train_step.py).
+                batch_np = dict(batch_np)
+                batch_np["preempt"] = np.full(
+                    (batch_np["images"].shape[0],),
+                    1.0 if preempt["hit"] else 0.0,
+                    np.float32,
+                )
             batch = place(jax.tree.map(jnp.asarray, batch_np))
             state, losses = train_step(
                 state, batch, jax.random.fold_in(rng, global_step)
             )
+            if n_proc > 1:
+                # One scalar fetch per step (~host round-trip; negligible vs
+                # the step). pmean > 0 <=> SOME host flagged — every host
+                # reads the same value, so all break at the same boundary.
+                losses = dict(losses)
+                if float(losses.pop("preempt")) > 0:
+                    preempt["hit"] = True
             if profile_steps and global_step == profile_steps[1]:
                 jax.block_until_ready(losses)
                 jax.profiler.stop_trace()
@@ -263,10 +309,13 @@ def train_model(
         if preempt["hit"]:
             # Partial-epoch save: keeps every optimizer step taken so far;
             # resume starts at the next epoch (the remainder of this data
-            # pass is the price of the preemption, not redone work).
-            ckpt_lib.save(manager, state, epoch, metrics, extra=sched.state_dict())
-            manager.wait_until_finished()
-            _restore_handlers()
+            # pass is the price of the preemption, not redone work). Saved
+            # via the dedicated preempt manager so it never competes in
+            # best-only ranking (and can't be GC'd as "non-best"). In
+            # multi-host mode every host reached this point at the same step
+            # (consensus above), so the collective save completes.
+            ckpt_lib.save(pre_manager, state, epoch, metrics, extra=sched.state_dict())
+            pre_manager.wait_until_finished()
             print(f"preempted at epoch {epoch + 1} step {spe}: checkpoint saved")
             return state
         # validation (reference test_step path); DP-sharded when a mesh exists
@@ -315,5 +364,4 @@ def train_model(
             + f"lr={new_lr:.2e} {ips:.2f} img/s"
         )
     manager.wait_until_finished()
-    _restore_handlers()
     return state

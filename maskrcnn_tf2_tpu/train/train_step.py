@@ -193,10 +193,18 @@ def make_train_step(config: MaskRCNNConfig, axis_name: str | None = None):
             # Decorrelate sampling RNG across data-parallel shards.
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         anchors = jnp.asarray(anchors_np)
+        # Multi-host preemption consensus flag (loop.py): a per-example f32
+        # riding the sharded batch; its max joins the fused all-reduce below
+        # (pmean > 0 <=> SOME host saw SIGTERM), so every host breaks at the
+        # same step boundary and the collective preempt save can't deadlock.
+        batch = dict(batch)
+        preempt_in = batch.pop("preempt", None)
         grad_fn = jax.value_and_grad(_loss_and_updates, has_aux=True)
         (total, (losses, new_batch_stats)), grads = grad_fn(
             state.params, state.batch_stats, batch, rng, config, anchors, True
         )
+        if preempt_in is not None:
+            losses["preempt"] = jnp.max(preempt_in)
         if axis_name is not None:
             if not config.sync_bn:
                 # Per-shard BN: running stats diverge across replicas, so

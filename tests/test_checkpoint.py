@@ -161,10 +161,15 @@ def test_preemption_checkpoints_and_resumes(tmp_path):
     prev = signal.getsignal(signal.SIGTERM)
     state = train_model(cfg, ds, metric_writer=send_sigterm)
     assert int(state.step) >= 1
-    # handler restored, checkpoint written for the interrupted epoch 0
+    # handler restored; the partial-epoch checkpoint lives in the dedicated
+    # preempt manager (NOT the best-ranked main manager — ADVICE r3: a
+    # train-only partial-epoch loss must not compete in best-only retention)
     assert signal.getsignal(signal.SIGTERM) is prev
     manager = ckpt_lib.make_manager(cfg)
-    assert manager.latest_step() == 0
+    pre_manager = ckpt_lib.make_preempt_manager(cfg)
+    assert manager.latest_step() is None
+    assert pre_manager.latest_step() == 0
+    assert ckpt_lib.pick_resume_manager(manager, pre_manager) is pre_manager
     # fired exactly once per executed step before the break (1 step)
     assert fired["n"] == 1
 
@@ -172,3 +177,34 @@ def test_preemption_checkpoints_and_resumes(tmp_path):
     state2 = train_model(cfg, ds, metric_writer=None)
     manager2 = ckpt_lib.make_manager(cfg)
     assert manager2.latest_step() == 2  # epochs 1 and 2 completed
+    # a completed (main) checkpoint newer than the preempt one wins resume
+    assert (
+        ckpt_lib.pick_resume_manager(manager2, ckpt_lib.make_preempt_manager(cfg))
+        is manager2
+    )
+
+
+def test_handlers_restored_when_training_raises(tmp_path):
+    """A raise inside the epoch loop must not leave the no-op SIGTERM handler
+    installed (ADVICE r3 low: long-lived host processes would swallow
+    subsequent SIGTERMs)."""
+    import signal
+
+    from maskrcnn_tf2_tpu.data.synthetic import SyntheticShapesDataset
+    from maskrcnn_tf2_tpu.train.loop import train_model
+
+    cfg = MaskRCNNConfig(
+        **TINY, checkpoints_dir=str(tmp_path), batch_size=2, epochs=1,
+        log_per_steps=1,
+    )
+    ds = SyntheticShapesDataset()
+    ds.load_shapes(4, 64, 64, seed=5)
+    ds.prepare()
+
+    def boom(step, metrics):
+        raise RuntimeError("injected failure")
+
+    prev = signal.getsignal(signal.SIGTERM)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        train_model(cfg, ds, metric_writer=boom)
+    assert signal.getsignal(signal.SIGTERM) is prev
