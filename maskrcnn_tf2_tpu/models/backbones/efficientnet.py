@@ -14,6 +14,8 @@ from typing import Any, Dict
 import flax.linen as nn
 import jax.numpy as jnp
 
+from maskrcnn_tf2_tpu.models.quant import conv_site
+
 Array = jnp.ndarray
 
 # (width_coefficient, depth_coefficient)
@@ -52,17 +54,11 @@ def round_repeats(repeats: int, depth: float) -> int:
     return int(math.ceil(depth * repeats))
 
 
-def _conv_bn(x, features, kernel, strides, dtype, train_bn, name, groups=1, act=True, bn_axis=None):
-    x = nn.Conv(
-        features,
-        (kernel, kernel),
-        strides=(strides, strides),
-        padding="SAME",
-        use_bias=False,
-        feature_group_count=groups,
-        dtype=dtype,
-        name=f"{name}_conv",
-    )(x)
+def _conv_bn(m, x, features, kernel, strides, dtype, train_bn, name, groups=1, act=True, bn_axis=None, quant="off"):
+    x = conv_site(
+        m, x, features, (kernel, kernel), (strides, strides), groups, dtype,
+        quant, name,
+    )
     x = nn.BatchNorm(
         use_running_average=not train_bn,
         momentum=0.9,
@@ -82,6 +78,7 @@ class MBConv(nn.Module):
     se_ratio: float = 0.25
     dtype: Any = jnp.bfloat16
     bn_axis: Any = None
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x: Array, train_bn: bool) -> Array:
@@ -89,9 +86,9 @@ class MBConv(nn.Module):
         in_ch = x.shape[-1]
         y = x
         if self.expand != 1:
-            y = _conv_bn(y, in_ch * self.expand, 1, 1, d, train_bn, "expand", bn_axis=self.bn_axis)
+            y = _conv_bn(self, y, in_ch * self.expand, 1, 1, d, train_bn, "expand", bn_axis=self.bn_axis, quant=self.quant)
         mid = y.shape[-1]
-        y = _conv_bn(y, mid, self.kernel, self.strides, d, train_bn, "dw", groups=mid, bn_axis=self.bn_axis)
+        y = _conv_bn(self, y, mid, self.kernel, self.strides, d, train_bn, "dw", groups=mid, bn_axis=self.bn_axis, quant=self.quant)
         # Squeeze-excite on the expanded features, reduction vs input channels.
         se_ch = max(1, int(in_ch * self.se_ratio))
         s = jnp.mean(y.astype(jnp.float32), axis=(1, 2))
@@ -100,7 +97,7 @@ class MBConv(nn.Module):
         s = nn.Dense(mid, dtype=d, name="se_expand")(s)
         s = nn.sigmoid(s.astype(jnp.float32)).astype(y.dtype)
         y = y * s[:, None, None, :]
-        y = _conv_bn(y, self.features, 1, 1, d, train_bn, "project", act=False, bn_axis=self.bn_axis)
+        y = _conv_bn(self, y, self.features, 1, 1, d, train_bn, "project", act=False, bn_axis=self.bn_axis, quant=self.quant)
         if self.strides == 1 and in_ch == self.features:
             y = y + x
         return y
@@ -111,12 +108,13 @@ class EfficientNet(nn.Module):
     depth: float = 1.0
     dtype: Any = jnp.bfloat16
     bn_axis: Any = None
+    quant: str = "off"  # config.quant_mode: block convs only (stem stays bf16)
 
     @nn.compact
     def __call__(self, x: Array, train_bn: bool = False) -> Dict[str, Array]:
         d = self.dtype
         x = x.astype(d)
-        x = _conv_bn(x, round_filters(32, self.width), 3, 2, d, train_bn, "stem", bn_axis=self.bn_axis)
+        x = _conv_bn(self, x, round_filters(32, self.width), 3, 2, d, train_bn, "stem", bn_axis=self.bn_axis)
 
         endpoints = {}
         stride = 2
@@ -131,7 +129,7 @@ class EfficientNet(nn.Module):
                     stride *= 2
                 x = MBConv(
                     kernel, s, expand, features, dtype=d, bn_axis=self.bn_axis,
-                    name=f"block{bidx}"
+                    quant=self.quant, name=f"block{bidx}"
                 )(x, train_bn)
                 bidx += 1
         endpoints[f"stride{stride}"] = x

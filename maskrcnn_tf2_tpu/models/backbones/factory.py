@@ -47,18 +47,16 @@ def get_backbone(
             name="backbone",
             **RESNET_VARIANTS[name],
         )
-    if quant != "off":
-        raise ValueError(
-            "quant_mode is implemented for ResNet-family backbones; "
-            f"got backbone '{name}' with quant_mode='{quant}'"
-        )
     if name == "mobilenet":
-        return MobileNetV1(dtype=dtype, bn_axis=bn_axis, name="backbone")
+        return MobileNetV1(dtype=dtype, bn_axis=bn_axis, quant=quant, name="backbone")
     if name == "mobilenetv2":
-        return MobileNetV2(dtype=dtype, bn_axis=bn_axis, name="backbone")
+        return MobileNetV2(dtype=dtype, bn_axis=bn_axis, quant=quant, name="backbone")
     if name in EFFICIENTNET_PARAMS:
         width, depth = EFFICIENTNET_PARAMS[name]
-        return EfficientNet(width=width, depth=depth, dtype=dtype, bn_axis=bn_axis, name="backbone")
+        return EfficientNet(
+            width=width, depth=depth, dtype=dtype, bn_axis=bn_axis, quant=quant,
+            name="backbone",
+        )
     raise ValueError(
         f"unknown backbone '{name}'; available: {backbone_names()}"
     )

@@ -13,20 +13,13 @@ from typing import Any, Dict
 import flax.linen as nn
 import jax.numpy as jnp
 
+from maskrcnn_tf2_tpu.models.quant import conv_site
+
 Array = jnp.ndarray
 
 
-def _conv_bn(x, features, kernel, strides, dtype, train_bn, name, groups=1, act=nn.relu6, bn_axis=None):
-    x = nn.Conv(
-        features,
-        kernel,
-        strides=strides,
-        padding="SAME",
-        use_bias=False,
-        feature_group_count=groups,
-        dtype=dtype,
-        name=f"{name}_conv",
-    )(x)
+def _conv_bn(m, x, features, kernel, strides, dtype, train_bn, name, groups=1, act=nn.relu6, bn_axis=None, quant="off"):
+    x = conv_site(m, x, features, kernel, strides, groups, dtype, quant, name)
     x = nn.BatchNorm(
         use_running_average=not train_bn,
         momentum=0.9,
@@ -42,6 +35,7 @@ class MobileNetV1(nn.Module):
     alpha: float = 1.0
     dtype: Any = jnp.bfloat16
     bn_axis: Any = None
+    quant: str = "off"  # config.quant_mode: block convs only (stem stays bf16)
 
     @nn.compact
     def __call__(self, x: Array, train_bn: bool = False) -> Dict[str, Array]:
@@ -51,15 +45,16 @@ class MobileNetV1(nn.Module):
             return max(8, int(ch * self.alpha))
 
         x = x.astype(d)
-        x = _conv_bn(x, c(32), (3, 3), (2, 2), d, train_bn, "stem", bn_axis=self.bn_axis)
+        x = _conv_bn(self, x, c(32), (3, 3), (2, 2), d, train_bn, "stem", bn_axis=self.bn_axis)
 
         def ds_block(x, features, strides, name):
             in_ch = x.shape[-1]
             x = _conv_bn(
-                x, in_ch, (3, 3), strides, d, train_bn, f"{name}_dw", groups=in_ch, bn_axis=self.bn_axis)
+                self, x, in_ch, (3, 3), strides, d, train_bn, f"{name}_dw",
+                groups=in_ch, bn_axis=self.bn_axis, quant=self.quant)
             return _conv_bn(
-                x, features, (1, 1), (1, 1), d, train_bn, f"{name}_pw",
-                bn_axis=self.bn_axis,
+                self, x, features, (1, 1), (1, 1), d, train_bn, f"{name}_pw",
+                bn_axis=self.bn_axis, quant=self.quant,
             )
 
         x = ds_block(x, c(64), (1, 1), "b1")
@@ -86,6 +81,7 @@ class InvertedResidual(nn.Module):
     expand: int = 6
     dtype: Any = jnp.bfloat16
     bn_axis: Any = None
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x: Array, train_bn: bool) -> Array:
@@ -93,11 +89,12 @@ class InvertedResidual(nn.Module):
         in_ch = x.shape[-1]
         y = x
         if self.expand != 1:
-            y = _conv_bn(y, in_ch * self.expand, (1, 1), (1, 1), d, train_bn, "expand", bn_axis=self.bn_axis)
+            y = _conv_bn(self, y, in_ch * self.expand, (1, 1), (1, 1), d, train_bn, "expand", bn_axis=self.bn_axis, quant=self.quant)
         mid = y.shape[-1]
         y = _conv_bn(
-            y, mid, (3, 3), (self.strides, self.strides), d, train_bn, "dw", groups=mid, bn_axis=self.bn_axis)
-        y = _conv_bn(y, self.features, (1, 1), (1, 1), d, train_bn, "project", act=None, bn_axis=self.bn_axis)
+            self, y, mid, (3, 3), (self.strides, self.strides), d, train_bn, "dw",
+            groups=mid, bn_axis=self.bn_axis, quant=self.quant)
+        y = _conv_bn(self, y, self.features, (1, 1), (1, 1), d, train_bn, "project", act=None, bn_axis=self.bn_axis, quant=self.quant)
         if self.strides == 1 and in_ch == self.features:
             y = y + x
         return y
@@ -107,6 +104,7 @@ class MobileNetV2(nn.Module):
     alpha: float = 1.0
     dtype: Any = jnp.bfloat16
     bn_axis: Any = None
+    quant: str = "off"  # config.quant_mode: block convs only (stem stays bf16)
 
     @nn.compact
     def __call__(self, x: Array, train_bn: bool = False) -> Dict[str, Array]:
@@ -116,7 +114,7 @@ class MobileNetV2(nn.Module):
             return max(8, int(ch * self.alpha + 4) // 8 * 8)
 
         x = x.astype(d)
-        x = _conv_bn(x, c(32), (3, 3), (2, 2), d, train_bn, "stem", bn_axis=self.bn_axis)
+        x = _conv_bn(self, x, c(32), (3, 3), (2, 2), d, train_bn, "stem", bn_axis=self.bn_axis)
         # (expand, features, repeats, first_stride)
         schedule = [
             (1, 16, 1, 1),
@@ -138,7 +136,7 @@ class MobileNetV2(nn.Module):
                     stride *= 2
                 x = InvertedResidual(
                     c(features), s, expand, dtype=d, bn_axis=self.bn_axis,
-                    name=f"block{bidx}"
+                    quant=self.quant, name=f"block{bidx}"
                 )(x, train_bn)
                 bidx += 1
         endpoints[f"stride{stride}"] = x

@@ -44,16 +44,21 @@ class Int8Conv(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: Array, x_amax: Array) -> Array:
+    def __call__(self, x: Array, x_amax: Array, xq: Array = None, sx: Array = None) -> Array:
+        """``x`` + calibrated ``x_amax``, or a pre-quantized ``(xq, sx)``
+        pair from a producer-side s8 epilogue (the quantized residual
+        stream, resnet.py — saves the bf16 write + re-read of the edge)."""
+        in_ch = (x if xq is None else xq).shape[-1]
         w = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (*self.kernel, x.shape[-1] // self.groups, self.features),
+            (*self.kernel, in_ch // self.groups, self.features),
         )
-        sx = jnp.maximum(x_amax.astype(jnp.float32), 1e-6) / 127.0
-        xq = jnp.clip(
-            jnp.round(x.astype(jnp.float32) / sx), -127.0, 127.0
-        ).astype(jnp.int8)
+        if xq is None:
+            sx = jnp.maximum(x_amax.astype(jnp.float32), 1e-6) / 127.0
+            xq = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / sx), -127.0, 127.0
+            ).astype(jnp.int8)
         wf = w.astype(jnp.float32)
         sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-12) / 127.0
         wq = jnp.round(wf / sw).astype(jnp.int8)
@@ -82,6 +87,49 @@ class Int8Conv(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(jnp.float32)
         return y.astype(self.dtype)
+
+
+def conv_site(
+    m: nn.Module,
+    x: Array,
+    features: int,
+    kernel: Tuple[int, int],
+    strides: Tuple[int, int],
+    groups: int,
+    dtype: Any,
+    quant: str,
+    name: str,
+) -> Array:
+    """One quantizable conv site, shared by the MobileNet/EfficientNet
+    builders (the ResNet family has the same branching inline in ConvBN).
+
+    Param-tree-identical across modes — Int8Conv is nn.Conv param-compatible
+    (same ``kernel`` name/shape, incl. depthwise where
+    ``feature_group_count == in_channels`` gives kernel ``[kh, kw, 1, F]``)
+    — so the quantized graph applies the UNCHANGED trained checkpoint. The
+    calibrated input amax lives in the CALLER module's ``quant`` collection
+    as ``{name}_x_amax`` (recorded in 'calib', consumed in 'int8'; see
+    export/quantize.py). Matches the reference TRT flow where every backbone
+    ships as an engine (README.md:460-503) and int8 is the next notch.
+    """
+    if quant == "calib":
+        amax = m.variable("quant", f"{name}_x_amax", lambda: jnp.zeros((), jnp.float32))
+        amax.value = jnp.maximum(amax.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+    if quant == "int8":
+        amax = m.variable("quant", f"{name}_x_amax", lambda: jnp.zeros((), jnp.float32))
+        return Int8Conv(
+            features, kernel, strides, groups, dtype=dtype, name=f"{name}_conv"
+        )(x, amax.value)
+    return nn.Conv(
+        features,
+        kernel,
+        strides=strides,
+        padding="SAME",
+        use_bias=False,
+        feature_group_count=groups,
+        dtype=dtype,
+        name=f"{name}_conv",
+    )(x)
 
 
 def _quantize_input(x: Array, x_amax: Array) -> Tuple[Array, Array]:

@@ -227,3 +227,121 @@ def test_train_step_rejects_quant():
 
     with pytest.raises(ValueError, match="inference-only"):
         make_train_step(dataclasses.replace(CFG, quant_mode="int8"))
+
+
+def test_int8_conv_depthwise_matches_oracle():
+    """Depthwise conv (feature_group_count == channels — the MobileNet/
+    EfficientNet dw site): kernel [kh, kw, 1, C], per-out-channel scales."""
+    rs = np.random.RandomState(8)
+    c = 8
+    x = rs.randn(1, 6, 6, c).astype(np.float32) * 2.0
+    m = _Int8Conv(features=c, kernel=(3, 3), groups=c, dtype=jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.float32(1.0))
+    w = np.asarray(variables["params"]["kernel"])  # [3,3,1,c]
+    assert w.shape == (3, 3, 1, c)
+    amax = np.abs(x).max()
+    got = np.asarray(m.apply(variables, jnp.asarray(x), jnp.float32(amax)))
+
+    sx = max(amax, 1e-6) / 127.0
+    xq = np.clip(np.round(x / sx), -127, 127).astype(np.int32)
+    sw = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-12) / 127.0
+    wq = np.round(w / sw).astype(np.int32)
+    xp = np.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ref = np.zeros((1, 6, 6, c), np.int32)
+    for dy in range(3):
+        for dx in range(3):
+            ref += xp[:, dy : dy + 6, dx : dx + 6, :] * wq[dy, dx, 0][None, None, None, :]
+    want = ref.astype(np.float32) * (sx * sw)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("backbone", ["mobilenetv2", "efficientnetb0"])
+def test_nonresnet_backbone_calib_then_int8_close_to_float(backbone):
+    """VERDICT r3 next #3: int8 PTQ for the depthwise/MBConv families (the
+    reference ships TRT engines for EVERY backbone, README.md:460-503)."""
+    from maskrcnn_tf2_tpu.models.backbones.factory import get_backbone
+
+    rs = np.random.RandomState(9)
+    x = jnp.asarray(rs.randn(1, 64, 64, 3).astype(np.float32))
+
+    net = get_backbone(backbone, dtype=jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x, train_bn=False)
+    ref = net.apply(variables, x, train_bn=False)
+
+    calib_net = get_backbone(backbone, dtype=jnp.float32, quant="calib")
+    out, mut = calib_net.apply(variables, x, train_bn=False, mutable=["quant"])
+    # calib-mode forward math is unchanged
+    np.testing.assert_allclose(
+        np.asarray(out["C5"]), np.asarray(ref["C5"]), rtol=1e-6
+    )
+    quant = mut["quant"]
+    leaves = jax.tree_util.tree_leaves(quant)
+    assert len(leaves) > 10 and all(float(v) > 0 for v in leaves)
+
+    int8_net = get_backbone(backbone, dtype=jnp.float32, quant="int8")
+    q = int8_net.apply({**variables, "quant": quant}, x, train_bn=False)
+    for k in ("C2", "C5"):
+        a, b = np.asarray(ref[k]), np.asarray(q[k])
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
+        assert rel < 0.15, (k, rel)
+        assert np.isfinite(b).all()
+
+
+def test_mobilenet_quantize_for_inference_end_to_end():
+    """Full-detector calibrate -> int8 forward on a non-ResNet backbone."""
+    from maskrcnn_tf2_tpu.export.quantize import quantize_for_inference
+    from maskrcnn_tf2_tpu.models import MaskRCNN
+
+    cfg = dataclasses.replace(CFG, backbone="mobilenetv2")
+    rs = np.random.RandomState(10)
+    model = MaskRCNN(cfg)
+    images = jnp.asarray(rs.rand(1, 96, 96, 3).astype(np.float32) * 255.0)
+    meta = jnp.zeros((1, cfg.meta_size), jnp.float32)
+    meta = meta.at[0, 4:7].set(jnp.asarray([96.0, 96.0, 3.0]))
+    meta = meta.at[0, 7:11].set(jnp.asarray([0.0, 0.0, 96.0, 96.0]))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        images,
+        meta,
+        train=False,
+    )
+    qcfg, qvars = quantize_for_inference(cfg, dict(variables), [(images, meta)])
+    assert "backbone" in qvars["quant"]
+    qmodel = MaskRCNN(qcfg)
+    out = qmodel.apply(qvars, images, meta, train=False)
+    assert np.isfinite(np.asarray(out["detections"])).all()
+    assert out["detections"].shape == (1, CFG.detection_max_instances, 6)
+
+
+def test_quantized_residual_stream_ab(monkeypatch):
+    """The producer-side s8 residual stream (MASKRCNN_TPU_INT8_QRES,
+    VERDICT r3 next #4): intra-stage edges carry (s8, scale). Both A/B
+    settings must produce close-to-float outputs from ONE calibration
+    artifact, and the qres path must actually emit block out_amax scales."""
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.randn(1, 64, 64, 3).astype(np.float32))
+    kw = RESNET_VARIANTS["resnet50"]
+
+    net = ResNet(dtype=jnp.float32, **kw)
+    variables = net.init(jax.random.PRNGKey(0), x, train_bn=False)
+    ref = np.asarray(net.apply(variables, x, train_bn=False)["C5"])
+
+    calib_net = ResNet(dtype=jnp.float32, quant="calib", **kw)
+    _, mut = calib_net.apply(variables, x, train_bn=False, mutable=["quant"])
+    quant = mut["quant"]
+    # calib records block-output scales regardless of the A/B setting
+    assert float(quant["stage3_block2"]["out_amax"]) > 0
+
+    int8_net = ResNet(dtype=jnp.float32, quant="int8", **kw)
+    outs = {}
+    for setting in ("1", "0"):
+        monkeypatch.setenv("MASKRCNN_TPU_INT8_QRES", setting)
+        q = np.asarray(
+            int8_net.apply({**variables, "quant": quant}, x, train_bn=False)["C5"]
+        )
+        rel = np.linalg.norm(ref - q) / (np.linalg.norm(ref) + 1e-9)
+        assert rel < 0.15 and np.isfinite(q).all(), (setting, rel)
+        outs[setting] = q
+    # the two paths are different graphs (s8 vs bf16 edges) but agree closely
+    rel_ab = np.linalg.norm(outs["1"] - outs["0"]) / (np.linalg.norm(outs["0"]) + 1e-9)
+    assert rel_ab < 0.08, rel_ab
