@@ -67,6 +67,22 @@ def initialize(
             raise
 
 
+def client_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Align all processes via the distributed runtime's native KV barrier.
+
+    Unlike gloo collective-context creation (a hard ~30 s key exchange at
+    the FIRST execution of each device clique), this barrier tolerates
+    arbitrary skew up to ``timeout_ms`` — use it to align processes before
+    the first collective executes, so compile-time desync (minutes for the
+    full train step) can never blow gloo's context-init window. No-op when
+    the distributed runtime is not initialized (single-process)."""
+    from jax._src import distributed as _dist_runtime
+
+    client = getattr(_dist_runtime.global_state, "client", None)
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)
+
+
 def host_shard(order: np.ndarray, process_index: int, process_count: int) -> np.ndarray:
     """This host's slice of a (shared-seed-shuffled) index order: strided
     ``index::count`` — deterministic, disjoint across hosts, load-balanced.

@@ -135,9 +135,136 @@ def worker(coordinator: str, num_processes: int, process_id: int,
         )
 
 
+def preempt_worker(coordinator: str, num_processes: int, process_id: int,
+                   local_devices: int, workdir: str) -> None:
+    """Multi-host preemption drill (VERDICT r3 next #6): SIGTERM ONE host of
+    a multi-process train_model run; the flag rides the fused all-reduce
+    (train_step.py) + the epoch-boundary allgather (loop.py), so EVERY host
+    must break at the same step, the collective preempt save must complete,
+    and resume must find it."""
+    import os
+    import signal
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", local_devices)
+
+    from maskrcnn_tf2_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()
+
+    from maskrcnn_tf2_tpu.parallel import distributed as dist
+
+    dist.initialize(coordinator, num_processes, process_id)
+    assert jax.process_count() == num_processes
+
+    # Establish the gloo collective context NOW, while the workers are still
+    # aligned: context creation has a 30 s key-value exchange that must not
+    # race the multi-minute compile desync inside train_model (observed:
+    # 'Gloo context initialization failed: DEADLINE_EXCEEDED' when the first
+    # cross-process collective was orbax's directory barrier). Uses the same
+    # shard_map-psum path as the train step — multihost_utils' own
+    # communicator fails with TCP connect timeouts on this runtime.
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    warm_mesh = dist.make_global_mesh()
+    gv = dist.form_global_batch(
+        {"v": np.ones((local_devices, 1), np.float32)}, warm_mesh
+    )["v"]
+    warm = jax.jit(
+        shard_map(
+            lambda x: jax.lax.psum(jnp.sum(x), "data"),
+            mesh=warm_mesh, in_specs=P("data"), out_specs=P(), check_rep=False,
+        )
+    ).lower(gv).compile()
+    # Compile BEFORE the barrier, execute right after it: gloo clique
+    # creation (first execution) has a hard ~30 s key-exchange window that
+    # compile-time desync must not eat into.
+    dist.client_barrier("preempt_drill_warm")
+    total = warm(gv)
+    assert float(total) == num_processes * local_devices, float(total)
+    # Also establish the one-device-per-process clique multihost_utils /
+    # orbax barriers use, while still aligned.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("preempt_drill_host_clique")
+
+    import dataclasses
+
+    import __graft_entry__
+
+    from maskrcnn_tf2_tpu.data.synthetic import SyntheticShapesDataset
+    from maskrcnn_tf2_tpu.train import checkpoint as ckpt_lib
+    from maskrcnn_tf2_tpu.train.loop import train_model
+
+    n_dev = num_processes * local_devices
+    cfg = dataclasses.replace(
+        __graft_entry__._flagship_config(tiny=True),
+        image_min_dim=64,  # the tiny config's image_shape is 64^2; pin the
+        image_max_dim=64,  # loader's resize to it (dryrun feeds manually)
+        batch_size=n_dev,
+        epochs=2,
+        checkpoints_dir=workdir,
+        log_per_steps=1,
+        prefetch_size=1,
+    )
+    ds = SyntheticShapesDataset()
+    ds.load_shapes(4 * n_dev, 64, 64, seed=3)  # 4 global steps per epoch
+    ds.prepare()
+
+    fired = {"n": 0}
+
+    def writer(step, metrics):
+        # only host 1 is "preempted", mid-epoch (after its 2nd step).
+        # Deliver to the MAIN thread: process-wide os.kill lets the kernel
+        # pick any thread, and a SIGTERM landing on a gloo IO thread aborts
+        # the process (EINTR inside a blocking read -> gloo::EnforceNotMet
+        # -> std::terminate, observed). Real TPU runtimes have no gloo
+        # threads; what this drill tests is the consensus + collective-save
+        # protocol, which is delivery-thread-agnostic.
+        import threading
+
+        fired["n"] += 1
+        if process_id == 1 and fired["n"] == 2:
+            signal.pthread_kill(threading.main_thread().ident, signal.SIGTERM)
+
+    state = train_model(cfg, ds, metric_writer=writer, resume=False)
+    assert int(state.step) >= 2
+
+    manager = ckpt_lib.make_manager(cfg)
+    pre_manager = ckpt_lib.make_preempt_manager(cfg)
+    assert pre_manager.latest_step() == 0, pre_manager.latest_step()
+    assert manager.latest_step() is None, manager.latest_step()
+    # clean resume from the preempt checkpoint
+    src = ckpt_lib.pick_resume_manager(manager, pre_manager)
+    assert src is pre_manager
+    from maskrcnn_tf2_tpu.train.train_step import create_train_state
+
+    template = create_train_state(cfg, jax.random.PRNGKey(0))
+    template = dist.replicate_global(
+        jax.tree.map(lambda x: __import__("numpy").asarray(x), template),
+        dist.make_global_mesh(),
+    )
+    restored, start_epoch, _ = ckpt_lib.restore(
+        src, template,
+        extra_template={"lr": 0.0, "best": 0.0, "bad_epochs": 0.0},
+    )
+    assert start_epoch == 1, start_epoch
+    assert int(jax.device_get(restored.step)) == int(state.step)
+    if process_id == 0:
+        print(f"multihost preempt drill OK — all {num_processes} hosts "
+              f"checkpointed at step {int(state.step)}, resume at epoch 1")
+
+
 def launch(num_processes: int = 2, local_devices: int = 4,
-           full_model: bool = False, timeout: int = 1800) -> None:
-    """Spawn the workers and wait; raises on any worker failure."""
+           full_model: bool = False, timeout: int = 1800,
+           preempt_workdir: str | None = None) -> None:
+    """Spawn the workers and wait; raises on any worker failure.
+    ``preempt_workdir`` switches workers to the preemption drill."""
     import socket
 
     with socket.socket() as s:  # pick a free port
@@ -156,7 +283,8 @@ def launch(num_processes: int = 2, local_devices: int = 4,
                 "--process-id", str(i),
                 "--local-devices", str(local_devices),
             ]
-            + (["--full-model"] if full_model else []),
+            + (["--full-model"] if full_model else [])
+            + (["--preempt-workdir", preempt_workdir] if preempt_workdir else []),
             env=env,
         )
         for i in range(num_processes)
@@ -181,9 +309,16 @@ def main():
     ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--local-devices", type=int, default=4)
     ap.add_argument("--full-model", action="store_true")
+    ap.add_argument("--preempt-workdir", default=None)
     args = ap.parse_args()
     if args.process_id is None:
-        launch(args.num_processes, args.local_devices, args.full_model)
+        launch(args.num_processes, args.local_devices, args.full_model,
+               preempt_workdir=args.preempt_workdir)
+    elif args.preempt_workdir:
+        preempt_worker(
+            args.coordinator, args.num_processes, args.process_id,
+            args.local_devices, args.preempt_workdir,
+        )
     else:
         worker(
             args.coordinator, args.num_processes, args.process_id,

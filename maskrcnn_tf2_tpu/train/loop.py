@@ -96,6 +96,14 @@ def train_model(
     rng = jax.random.PRNGKey(rng_seed)
     if state is None:
         state = create_train_state(config, rng)
+    if jax.process_count() > 1:
+        # create_train_state's compile can desync hosts by minutes (compile
+        # cache races); re-align on the distributed client's KV barrier
+        # BEFORE orbax's first collective (gloo clique creation tolerates
+        # only ~30 s of skew at first execution).
+        from maskrcnn_tf2_tpu.parallel.distributed import client_barrier
+
+        client_barrier("train_model_state_init")
 
     sched = PlateauScheduler(
         config.reduce_lr_factor, config.reduce_lr_patience, config.learning_rate
@@ -130,6 +138,7 @@ def train_model(
     # default whenever a mesh exists; gradient psum rides ICI intra-slice and
     # DCN across slices).
     n_dev = len(jax.devices())
+    consensus_fn = None  # multi-host preemption consensus (set below)
     if (
         config.parallel_mode == "gspmd"
         and n_dev > 1
@@ -166,14 +175,48 @@ def train_model(
             make_data_parallel_train_step,
         )
 
+        from maskrcnn_tf2_tpu.utils.platform import cpu_collective_compiler_options
+
         mesh = make_mesh(n_dev, config.mesh_data_axis)
-        train_step = make_data_parallel_train_step(config, mesh)
-        eval_step = make_data_parallel_eval_step(config, mesh)
+        # On CPU runtimes (virtual-device dryruns, localhost multi-process),
+        # collective steps need relaxed rendezvous timeouts + single-thread
+        # Eigen (see utils/platform.py); empty dict on TPU.
+        train_step = make_data_parallel_train_step(
+            config, mesh, compiler_options=cpu_collective_compiler_options() or None
+        )
+        eval_step = make_data_parallel_eval_step(
+            config, mesh, compiler_options=cpu_collective_compiler_options() or None
+        )
         if n_proc > 1:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
             from maskrcnn_tf2_tpu.parallel import distributed as dist
 
             state = dist.replicate_global(state, mesh)
             place = lambda b: dist.form_global_batch(b, mesh, config.mesh_data_axis)
+
+            # Epoch-boundary preemption consensus: a pmax of per-host flags
+            # over the SAME mesh/collective path the train step uses (the
+            # jax.experimental.multihost_utils communicator is a separate
+            # gloo clique that fails to establish on CPU multi-process
+            # runtimes where shard_map collectives work fine).
+            axis = config.mesh_data_axis
+            _consensus = jax.jit(
+                shard_map(
+                    lambda x: jax.lax.pmax(jnp.max(x), axis),
+                    mesh=mesh, in_specs=P(axis), out_specs=P(),
+                    check_rep=False,
+                )
+            )
+
+            def consensus_fn(hit: bool) -> bool:
+                local = np.full(
+                    (len(jax.local_devices()),), 1.0 if hit else 0.0, np.float32
+                )
+                g = dist.form_global_batch({"f": local}, mesh, axis)["f"]
+                return float(jax.device_get(_consensus(g))) > 0.0
+
         else:
             state = replicate(state, mesh)
             place = lambda b: shard_batch(b, mesh, config.mesh_data_axis)
@@ -199,7 +242,13 @@ def train_model(
     # proceeds without deadlock even when only one host got the signal.
     import signal as _signal
 
-    preempt = {"hit": False}
+    # 'hit' = SIGTERM seen locally (set by the handler); 'stop' = the actual
+    # break decision. In multi-host mode 'stop' may ONLY come from the
+    # all-reduced consensus — a host breaking on its local flag would run a
+    # different collective sequence than its peers (observed: gloo 'Received
+    # data size doesn't match expected size', 4-byte pmax vs 1 MB fused
+    # all-reduce) and crash the job.
+    preempt = {"hit": False, "stop": False}
     _prev_handlers = {}
 
     def _mark_preempt(signum, frame):
@@ -209,6 +258,15 @@ def train_model(
     for _sig in (_signal.SIGTERM,):
         try:
             _prev_handlers[_sig] = _signal.signal(_sig, _mark_preempt)
+            # SA_RESTART: python's default installs the handler WITHOUT it,
+            # so a SIGTERM arriving while the main thread is blocked inside
+            # a native collective read (fetching losses blocks on the gloo
+            # all-reduce) delivers EINTR into gloo, which throws
+            # gloo::EnforceNotMet -> std::terminate (observed SIGABRT in the
+            # 2-process preemption drill). With SA_RESTART the python-level
+            # handler still runs on delivery; the interrupted syscall is
+            # resumed instead of failing.
+            _signal.siginterrupt(_sig, False)
         except ValueError:  # not the main thread
             pass
 
@@ -222,7 +280,7 @@ def train_model(
             config, state, train_loader, val_dataset, train_step, eval_step,
             place, manager, pre_manager, sched, metric_writer, profile_steps,
             checkpoint_base, steps_per_epoch, rng, start_epoch, global_step,
-            n_proc, preempt,
+            n_proc, preempt, consensus_fn,
         )
     finally:
         # Always un-install the SIGTERM handler — a raise inside the loop
@@ -236,7 +294,7 @@ def _epoch_loop(
     config, state, train_loader, val_dataset, train_step, eval_step, place,
     manager, pre_manager, sched, metric_writer, profile_steps,
     checkpoint_base, steps_per_epoch, rng, start_epoch, global_step,
-    n_proc, preempt,
+    n_proc, preempt, consensus_fn,
 ):
     for epoch in range(start_epoch, config.epochs):
         t0 = time.time()
@@ -278,16 +336,24 @@ def _epoch_loop(
                     np.float32,
                 )
             batch = place(jax.tree.map(jnp.asarray, batch_np))
-            state, losses = train_step(
-                state, batch, jax.random.fold_in(rng, global_step)
-            )
+            step_rng = jax.random.fold_in(rng, global_step)
+            if n_proc > 1 and epoch == start_epoch and spe == 0:
+                # Compile the step, THEN align hosts, THEN execute: the first
+                # execution creates the cross-process gloo clique, whose key
+                # exchange has a hard ~30 s window the multi-minute compile
+                # desync must not eat into (see distributed.client_barrier).
+                from maskrcnn_tf2_tpu.parallel.distributed import client_barrier
+
+                train_step = train_step.lower(state, batch, step_rng).compile()
+                client_barrier("train_model_first_step")
+            state, losses = train_step(state, batch, step_rng)
             if n_proc > 1:
                 # One scalar fetch per step (~host round-trip; negligible vs
                 # the step). pmean > 0 <=> SOME host flagged — every host
                 # reads the same value, so all break at the same boundary.
                 losses = dict(losses)
                 if float(losses.pop("preempt")) > 0:
-                    preempt["hit"] = True
+                    preempt["stop"] = True
             if profile_steps and global_step == profile_steps[1]:
                 jax.block_until_ready(losses)
                 jax.profiler.stop_trace()
@@ -300,13 +366,29 @@ def _epoch_loop(
             )
             if metric_writer and spe % config.log_per_steps == 0:
                 metric_writer(global_step, {k: float(v) for k, v in losses.items()})
-            if preempt["hit"]:
+            if n_proc == 1 and preempt["hit"]:
+                # Single-process: the local flag decides directly — checked
+                # LAST in the iteration so a signal arriving inside
+                # metric_writer still stops after this very step.
+                preempt["stop"] = True
+            if preempt["stop"]:
                 break
 
         metrics = (
             {k: float(v) / spe for k, v in agg_dev.items()} if agg_dev else {}
         )
-        if preempt["hit"]:
+        if not preempt["stop"]:
+            # Epoch-boundary check: a SIGTERM landing on the LAST step of an
+            # epoch never rode a batch, so the in-step decision can't have
+            # fired. Multi-host: consensus pmax (every host calls it at the
+            # same point — without it, only the signaled host would take the
+            # preempt branch and the others would deadlock at the next
+            # collective). Single-process: the local flag decides directly.
+            preempt["stop"] = (
+                consensus_fn(preempt["hit"]) if consensus_fn is not None
+                else preempt["hit"]
+            )
+        if preempt["stop"]:
             # Partial-epoch save: keeps every optimizer step taken so far;
             # resume starts at the next epoch (the remainder of this data
             # pass is the price of the preemption, not redone work). Saved

@@ -312,7 +312,9 @@ def make_data_parallel_train_step(
     return jax.jit(sharded, compiler_options=compiler_options)
 
 
-def make_data_parallel_eval_step(config: MaskRCNNConfig, mesh: Mesh):
+def make_data_parallel_eval_step(
+    config: MaskRCNNConfig, mesh: Mesh, compiler_options=None
+):
     """shard_map'd validation step: batch sharded over the ``data`` axis,
     per-shard losses pmean-reduced (the mesh does real work during eval
     instead of every device recomputing the replicated batch)."""
@@ -328,4 +330,4 @@ def make_data_parallel_eval_step(config: MaskRCNNConfig, mesh: Mesh):
         out_specs=P(),
         check_rep=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, compiler_options=compiler_options)

@@ -49,6 +49,28 @@ def inference_compiler_options() -> dict:
     return {}
 
 
+def cpu_collective_compiler_options() -> dict:
+    """Per-jit XLA:CPU options for multi-device/multi-process collective
+    steps on CPU runtimes (virtual-device dryruns, CPU CI, localhost
+    multi-process drills). Empty on TPU.
+
+    - collective stuck/terminate timeouts: with N device threads sharing few
+      host cores, the first thread at an all-reduce waits while the others
+      serially finish per-shard compute — easily past the 20 s warn / 60 s
+      SIGABRT defaults (rendezvous.cc), turning runs into scheduling races.
+    - single-thread Eigen: every parallel-for otherwise fans out over an
+      N-thread pool per device thread on the same cores (measured 8x wall
+      blowup in futex/sched_yield sys time on the 8-device dryrun).
+    """
+    if on_tpu():
+        return {}
+    return {
+        "xla_cpu_collective_call_warn_stuck_seconds": 300,
+        "xla_cpu_collective_call_terminate_timeout_seconds": 3600,
+        "xla_cpu_multi_thread_eigen": False,
+    }
+
+
 def pallas_allowed() -> bool:
     """False while inside a ``no_pallas()`` scope (checked by the NMS and
     ROIAlign gates in addition to their own env overrides)."""
