@@ -18,6 +18,14 @@ are cross-replica by construction — gspmd mode has sync-BN semantics without
 No reference equivalent: the reference is single-process single-GPU
 (training.py:28-31); SURVEY §2.15 marks TP as the optional beat-the-reference
 axis.
+
+Routing guidance (measured, round 4): because Pallas tpu_custom_calls have
+no SPMD partitioning rule, this path runs the pure-XLA ROIAlign/NMS twins —
+measured +18% train-step time single-chip vs the shard_map path's Pallas
+kernels (98.0 -> 115.8 ms/step, r50@512 b8, scripts/time_train.py with
+NO_PALLAS=1). shard_map DP is therefore the default scaling mode; pick
+gspmd when the classifier head's FC parameters must shard for memory, and
+price in the kernel downgrade.
 """
 
 from __future__ import annotations

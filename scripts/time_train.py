@@ -71,7 +71,17 @@ def main():
     step = make_train_step(tcfg)
     rng = jax.random.PRNGKey(1)
     t0 = time.perf_counter()
-    compiled = jax.jit(step).lower(state, batch_t, rng).compile()
+    if os.environ.get("NO_PALLAS") == "1":
+        # A/B the gspmd-path kernel set (VERDICT r3 next #5): GSPMD traces
+        # under no_pallas() (tpu_custom_call has no SPMD partitioning rule),
+        # so this times the XLA ROIAlign/NMS train step single-chip — the
+        # kernels-only cost of choosing TP, without partitioner noise.
+        from maskrcnn_tf2_tpu.utils.platform import no_pallas
+
+        with no_pallas():
+            compiled = jax.jit(step).lower(state, batch_t, rng).compile()
+    else:
+        compiled = jax.jit(step).lower(state, batch_t, rng).compile()
     print(f"compile {time.perf_counter() - t0:.1f}s", flush=True)
     state, losses = compiled(state, batch_t, rng)
     jax.block_until_ready(losses)
@@ -86,6 +96,7 @@ def main():
     ms = best / iters * 1000
     print(
         f"train b{tb}@{size} {backbone} "
+        f"no_pallas={os.environ.get('NO_PALLAS', '0')} "
         f"roialign={os.environ.get('MASKRCNN_TPU_ROIALIGN', 'default')} "
         f"train_bn={tcfg.train_bn} slim={tcfg.mask_train_slim}: "
         f"{ms:.2f} ms/step  {tb / ms * 1000:.2f} img/s"
