@@ -133,14 +133,25 @@ class ConvBN(nn.Module):
             amax = self.variable(
                 "quant", "x_amax", lambda: jnp.zeros((), jnp.float32)
             )
-            x = Int8Conv(
-                self.features,
-                self.kernel,
-                self.strides,
-                self.groups,
-                dtype=self.dtype,
-                name="conv",
-            )(x, amax.value)
+            if isinstance(x, tuple):
+                # Pre-quantized (xq, sx) from the producer block's s8
+                # epilogue (quantized residual stream) — skip the input
+                # quantize pass entirely; this conv's own x_amax is the
+                # running max of the SAME tensor, so the scale is equivalent.
+                xq, sx = x
+                x = Int8Conv(
+                    self.features, self.kernel, self.strides, self.groups,
+                    dtype=self.dtype, name="conv",
+                )(None, amax.value, xq=xq, sx=sx)
+            else:
+                x = Int8Conv(
+                    self.features,
+                    self.kernel,
+                    self.strides,
+                    self.groups,
+                    dtype=self.dtype,
+                    name="conv",
+                )(x, amax.value)
         elif (
             self.stem_s2d
             and self.kernel == (7, 7)
@@ -173,6 +184,39 @@ class ConvBN(nn.Module):
         return x
 
 
+def _qres_on() -> bool:
+    """A/B switch for the quantized residual stream (VERDICT r3 next #4):
+    intra-stage block->block edges carry s8 instead of bf16, so the producer
+    block's epilogue writes HALF the bytes and the consumer conv reads s8 it
+    would have re-quantized anyway. Default on; set MASKRCNN_TPU_INT8_QRES=0
+    to measure the bf16-edge baseline."""
+    import os
+
+    return os.environ.get("MASKRCNN_TPU_INT8_QRES", "1") != "0"
+
+
+def _block_out_q(m: nn.Module, out: Array, quant: str):
+    """Block-output quant bookkeeping: in 'calib', record the running amax of
+    the block output (the scale every consumer of this edge shares); in
+    'int8', emit the s8 copy + scale as the block's return value."""
+    amax = m.variable("quant", "out_amax", lambda: jnp.zeros((), jnp.float32))
+    if quant == "calib":
+        amax.value = jnp.maximum(
+            amax.value, jnp.max(jnp.abs(out.astype(jnp.float32)))
+        )
+        return out
+    s = jnp.maximum(amax.value, 1e-6) / 127.0
+    xq = jnp.clip(
+        jnp.round(out.astype(jnp.float32) / s), -127.0, 127.0
+    ).astype(jnp.int8)
+    return xq, s
+
+
+def _dequant(x, dtype):
+    xq, sx = x
+    return (xq.astype(jnp.float32) * sx).astype(dtype)
+
+
 class BasicBlock(nn.Module):
     features: int
     strides: Tuple[int, int] = (1, 1)
@@ -183,8 +227,8 @@ class BasicBlock(nn.Module):
     quant: str = "off"
 
     @nn.compact
-    def __call__(self, x: Array, train_bn: bool) -> Array:
-        shortcut = x
+    def __call__(self, x: Array, train_bn: bool, emit_q: bool = False) -> Array:
+        in_ch = (x[0] if isinstance(x, tuple) else x).shape[-1]
         y = ConvBN(self.features, (3, 3), self.strides, dtype=self.dtype, bn_axis=self.bn_axis, quant=self.quant, name="conv1")(
             x, train_bn
         )
@@ -192,11 +236,14 @@ class BasicBlock(nn.Module):
         y = ConvBN(self.features, (3, 3), dtype=self.dtype, bn_axis=self.bn_axis, quant=self.quant, name="conv2")(y, train_bn)
         if self.use_se:
             y = SqueezeExcite(dtype=self.dtype, name="se")(y)
-        if shortcut.shape[-1] != self.features or self.strides != (1, 1):
+        if in_ch != self.features or self.strides != (1, 1):
             shortcut = ConvBN(
                 self.features, (1, 1), self.strides, dtype=self.dtype, bn_axis=self.bn_axis, quant=self.quant, name="downsample"
             )(x, train_bn)
-        return self.act(y + shortcut)
+        else:
+            shortcut = _dequant(x, self.dtype) if isinstance(x, tuple) else x
+        out = self.act(y + shortcut)
+        return _block_out_q(self, out, self.quant) if emit_q else out
 
 
 class Bottleneck(nn.Module):
@@ -211,10 +258,10 @@ class Bottleneck(nn.Module):
     quant: str = "off"
 
     @nn.compact
-    def __call__(self, x: Array, train_bn: bool) -> Array:
+    def __call__(self, x: Array, train_bn: bool, emit_q: bool = False) -> Array:
         width = int(self.features * (self.base_width / 64.0)) * self.groups
         out_features = self.features * 4
-        shortcut = x
+        in_ch = (x[0] if isinstance(x, tuple) else x).shape[-1]
         y = ConvBN(width, (1, 1), dtype=self.dtype, bn_axis=self.bn_axis, quant=self.quant, name="conv1")(x, train_bn)
         y = self.act(y)
         y = ConvBN(
@@ -224,11 +271,14 @@ class Bottleneck(nn.Module):
         y = ConvBN(out_features, (1, 1), dtype=self.dtype, bn_axis=self.bn_axis, quant=self.quant, name="conv3")(y, train_bn)
         if self.use_se:
             y = SqueezeExcite(dtype=self.dtype, name="se")(y)
-        if shortcut.shape[-1] != out_features or self.strides != (1, 1):
+        if in_ch != out_features or self.strides != (1, 1):
             shortcut = ConvBN(
                 out_features, (1, 1), self.strides, dtype=self.dtype, bn_axis=self.bn_axis, quant=self.quant, name="downsample"
             )(x, train_bn)
-        return self.act(y + shortcut)
+        else:
+            shortcut = _dequant(x, self.dtype) if isinstance(x, tuple) else x
+        out = self.act(y + shortcut)
+        return _block_out_q(self, out, self.quant) if emit_q else out
 
 
 class ResNet(nn.Module):
@@ -276,9 +326,16 @@ class ResNet(nn.Module):
 
         endpoints = {"C1": c1}
         features = 64
+        # Quantized residual stream: intra-stage block->block edges carry
+        # (s8, scale) instead of bf16 (the stage-last block emits plain bf16
+        # for the C endpoint, which has multiple consumers: FPN + next stage).
+        # calib ALWAYS records out_amax (cheap) so one calibration artifact
+        # serves both A/B settings of MASKRCNN_TPU_INT8_QRES at int8 time.
+        qres = self.quant == "calib" or (self.quant == "int8" and _qres_on())
         for stage_idx, num_blocks in enumerate(self.stage_sizes):
             for block_idx in range(num_blocks):
                 strides = (2, 2) if (block_idx == 0 and stage_idx > 0) else (1, 1)
+                emit = qres and block_idx < num_blocks - 1
                 name = f"stage{stage_idx + 1}_block{block_idx + 1}"
                 if self.block == "basic":
                     x = BasicBlock(
@@ -288,7 +345,7 @@ class ResNet(nn.Module):
                         act=act,
                         dtype=self.dtype,
                         bn_axis=self.bn_axis, quant=self.quant, name=name,
-                    )(x, train_bn)
+                    )(x, train_bn, emit_q=emit)
                 else:
                     x = Bottleneck(
                         features,
@@ -299,7 +356,7 @@ class ResNet(nn.Module):
                         act=act,
                         dtype=self.dtype,
                         bn_axis=self.bn_axis, quant=self.quant, name=name,
-                    )(x, train_bn)
+                    )(x, train_bn, emit_q=emit)
             endpoints[f"C{stage_idx + 2}"] = x
             features *= 2
         return endpoints

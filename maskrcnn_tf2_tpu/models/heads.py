@@ -52,6 +52,64 @@ class _FCOnPooled(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class _DeconvS2D(nn.Module):
+    """The mask head's 2x2-stride-2 ``ConvTranspose`` as ONE MXU dot +
+    depth-to-space (reference ``Conv2DTranspose``, mrcnn_layers.py:794-800).
+
+    With kernel == stride the transposed conv's taps never overlap, so it is
+    exactly ``out[n, 2h+i, 2w+j, f] = sum_c x[n,h,w,c] K[i,j,c,f] + b[f]``:
+    a ``[BHW, C] x [C, 4F]`` matmul plus a reshuffle. Param-compatible with
+    ``nn.ConvTranspose(F, (2, 2), strides=(2, 2))`` (``kernel [2,2,C,F]``,
+    ``bias [F]``, same initializers) so checkpoints interchange. The hoped-for
+    payoff was the BACKWARD (conv_transpose's gradient lowers to a spatial
+    ``reverse`` + pad fusions over the [1600, 28, 28, 256] cotangent);
+    MEASURED LOSER at r50@512 b8 train: 95.7 vs 90.5 ms/step — the
+    depth-to-space transpose is a real relayout costing more than the
+    ``reverse`` it saves. Default OFF; re-measure with
+    MASKRCNN_TPU_DECONV=s2d before re-enabling. Equivalence pinned by
+    tests/test_heads_deconv.py.
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        n, h, w, c = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (2, 2, c, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        d = self.dtype
+        # flax ConvTranspose applies the kernel spatially FLIPPED:
+        # out[2h+i, 2w+j] = x[h, w] @ K[1-i, 1-j] (verified vs nn.ConvTranspose)
+        k2 = (
+            kernel[::-1, ::-1]
+            .astype(d)
+            .transpose(2, 0, 1, 3)
+            .reshape(c, 4 * self.features)
+        )
+        y = jax.lax.dot_general(
+            x.astype(d).reshape(n * h * w, c),
+            k2,
+            (((1,), (0,)), ((), ())),
+        )
+        y = (
+            y.reshape(n, h, w, 2, 2, self.features)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, 2 * h, 2 * w, self.features)
+        )
+        return y + bias.astype(d)
+
+
+def _deconv_s2d_on() -> bool:
+    import os
+
+    return os.environ.get("MASKRCNN_TPU_DECONV", "") == "s2d"
+
+
 def _bn(name, train_bn, dtype, bn_axis=None):
     return nn.BatchNorm(
         use_running_average=not train_bn,
@@ -229,9 +287,13 @@ class FPNMaskHead(nn.Module):
             x = _bn(f"mrcnn_mask_bn{i}", train_bn, d, self.bn_axis)(x)
             x = act(x)
 
-        x = nn.ConvTranspose(
-            self.conv_channels, (2, 2), strides=(2, 2), dtype=d, name="mrcnn_mask_deconv"
-        )(x)
+        if _deconv_s2d_on():
+            x = _DeconvS2D(self.conv_channels, dtype=d, name="mrcnn_mask_deconv")(x)
+        else:
+            x = nn.ConvTranspose(
+                self.conv_channels, (2, 2), strides=(2, 2), dtype=d,
+                name="mrcnn_mask_deconv",
+            )(x)
         x = act(x)
         proj = _MaskProj(self.num_classes, dtype=d, name="mrcnn_mask")
         if class_ids is not None:

@@ -111,10 +111,27 @@ def conv_site(
     as ``{name}_x_amax`` (recorded in 'calib', consumed in 'int8'; see
     export/quantize.py). Matches the reference TRT flow where every backbone
     ships as an engine (README.md:460-503) and int8 is the next notch.
+
+    Measured guidance (v5e, 1024^2 b32): int8 WINS on the ResNet family
+    (1.36x bf16 — wide 3x3 convs ride the MXU's int8 rate) but is neutral-
+    to-negative on the depthwise families: mobilenetv2 0.861x either way;
+    efficientnetb0 0.857x with depthwise quantized vs 0.992x without (the
+    5x5 dw convs are VPU-bound and the quantize pass just adds traffic).
+    Depthwise sites therefore stay bf16 in int8 mode by default (never
+    worse; A/B re-measure with MASKRCNN_TPU_INT8_DW=1). All backbones stay
+    AP-neutral (top-5 box delta 0.0); prefer bf16 outright for MobileNet/
+    EfficientNet serving.
     """
     if quant == "calib":
+        # record for EVERY site (incl. depthwise) so one calibration
+        # artifact serves both settings of MASKRCNN_TPU_INT8_DW
         amax = m.variable("quant", f"{name}_x_amax", lambda: jnp.zeros((), jnp.float32))
         amax.value = jnp.maximum(amax.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+    if quant == "int8" and groups > 1:
+        import os
+
+        if os.environ.get("MASKRCNN_TPU_INT8_DW", "0") != "1":
+            quant = "off"  # dw stays bf16 — measured never worse (docstring)
     if quant == "int8":
         amax = m.variable("quant", f"{name}_x_amax", lambda: jnp.zeros((), jnp.float32))
         return Int8Conv(

@@ -46,7 +46,9 @@ def time_graph(model, variables, images, meta):
 
 
 def main():
-    image_size, batch, backbone = 1024, int(os.environ.get("B", "32")), "resnet101"
+    image_size = int(os.environ.get("SIZE", "1024"))
+    batch = int(os.environ.get("B", "32"))
+    backbone = os.environ.get("BACKBONE", "resnet101")
     cfg = MaskRCNNConfig(
         image_shape=(image_size, image_size, 3),
         num_classes=2,
