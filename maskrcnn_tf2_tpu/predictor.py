@@ -139,6 +139,14 @@ class Predictor:
         main thread fetches and unmolds the oldest finished batch. The last
         (ragged) batch is padded to ``batch_size`` — shapes stay fixed, so
         there is exactly ONE compiled graph.
+
+        Caveat on the overlap claim: the pipeline's win depends on host
+        cores for the preprocessing/unmold stages. On a single-core host
+        the GIL serializes them and the measured throughput is 0.9-1.0x of
+        plain ``detect`` (this box); the design targets multi-core serving
+        hosts, where stages (1) and (3) run on real parallel cores — that
+        configuration has NOT been measured here. Results are bit-exact
+        either way (pinned by tests).
         """
         if batch_size % self.num_devices:
             raise ValueError(
