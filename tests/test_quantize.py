@@ -345,3 +345,41 @@ def test_quantized_residual_stream_ab(monkeypatch):
     # the two paths are different graphs (s8 vs bf16 edges) but agree closely
     rel_ab = np.linalg.norm(outs["1"] - outs["0"]) / (np.linalg.norm(outs["0"]) + 1e-9)
     assert rel_ab < 0.08, rel_ab
+
+
+def test_int8_engine_build_load_roundtrip(tmp_path):
+    """The combined TRT-analog flow: calibrate -> int8 config -> AOT engine
+    build -> reload -> serve. Pins that the quantized graph (incl. the
+    quantized residual stream) survives executable serialization and that
+    the engine output matches the live int8 predictor graph."""
+    from maskrcnn_tf2_tpu.export.engine import build_engine, load_engine
+    from maskrcnn_tf2_tpu.export.quantize import quantize_for_inference
+    from maskrcnn_tf2_tpu.models import MaskRCNN
+
+    cfg = dataclasses.replace(CFG, backbone="resnet18")
+    rs = np.random.RandomState(12)
+    model = MaskRCNN(cfg)
+    images = jnp.asarray(rs.rand(1, 96, 96, 3).astype(np.float32) * 255.0)
+    meta = jnp.zeros((1, cfg.meta_size), jnp.float32)
+    meta = meta.at[0, 4:7].set(jnp.asarray([96.0, 96.0, 3.0]))
+    meta = meta.at[0, 7:11].set(jnp.asarray([0.0, 0.0, 96.0, 96.0]))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        images,
+        meta,
+        train=False,
+    )
+    qcfg, qvars = quantize_for_inference(cfg, dict(variables), [(images, meta)])
+
+    path = str(tmp_path / "int8.engine")
+    build_engine(qcfg, qvars, path, batch_size=1)
+    eng = load_engine(path)
+
+    img_u8 = rs.randint(0, 256, size=(1, 96, 96, 3), dtype=np.uint8)
+    det_eng, masks_eng = eng(jnp.asarray(img_u8), meta)
+
+    qmodel = MaskRCNN(qcfg)
+    out = qmodel.apply(qvars, jnp.asarray(img_u8, jnp.float32), meta, train=False)
+    det_live = np.asarray(out["detections"])
+    np.testing.assert_allclose(det_eng, det_live, rtol=1e-5, atol=1e-5)
+    assert np.isfinite(masks_eng).all()
