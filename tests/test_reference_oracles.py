@@ -330,3 +330,214 @@ def test_norm_denorm_boxes_vs_reference(rng):
     ref_out = ref_utils.denorm_boxes(ref_norm, shape)
     our_out = np.asarray(our_boxes.denorm_boxes(our_norm.astype(np.float32), shape))
     np.testing.assert_allclose(np.round(our_out), ref_out, atol=0.5)
+
+
+# ---------------------------------------------------------------------------
+# EXECUTED layer graphs: detection_targets_graph + DetectionLayer.refine
+# (mrcnn_layers imports with auto-attr stubs for the absent backbone
+# packages — the executed functions never touch them)
+# ---------------------------------------------------------------------------
+
+
+def _import_mrcnn_layers():
+    class _Auto:
+        def __init__(self, name="auto"):
+            self._n = name
+
+        def __getattr__(self, a):
+            if a.startswith("__"):
+                raise AttributeError(a)
+            return _Auto(f"{self._n}.{a}")
+
+        def __call__(self, *a, **k):
+            return _Auto(self._n + "()")
+
+    def automod(name):
+        m = types.ModuleType(name)
+        m.__getattr__ = lambda attr: _Auto(f"{name}.{attr}")
+        return m
+
+    for name in [
+        "efficientnet", "efficientnet.keras",
+        "classification_models", "classification_models.models",
+        "classification_models.models._common_blocks",
+        "classification_models.weights",
+    ]:
+        sys.modules.setdefault(name, automod(name))
+    sys.modules["keras_applications"] = automod("keras_applications")
+    cm = sys.modules["classification_models"]
+    cm.get_submodules_from_kwargs = lambda kw: (None, None, None, None)
+    cb = sys.modules["classification_models.models._common_blocks"]
+    cb.ChannelSE = object
+    cb.GroupConv2D = object
+    sys.modules["classification_models.weights"].load_model_weights = (
+        lambda *a, **k: None
+    )
+    from layers import mrcnn_layers as m
+
+    return m
+
+
+ref_layers = _import_mrcnn_layers()
+
+
+def test_overlaps_graph_vs_reference(rng):
+    b1 = _random_boxes(rng, 20)
+    b2 = _random_boxes(rng, 12)
+    from maskrcnn_tf2_tpu.ops.boxes import overlaps as our_overlaps
+
+    ref = ref_layers.overlaps_graph(tf.constant(b1), tf.constant(b2)).numpy()
+    ours = np.asarray(our_overlaps(b1, b2))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def _targets_case(rng):
+    """A subsampling-free case: #positives <= capacity and #negative
+    candidates <= the exact count the reference draws, so both samplers
+    keep ALL candidates and the selected SETS are deterministic."""
+    size = 32
+    # 3 real GTs + 1 crowd, padded to 6
+    gt_boxes = np.zeros((6, 4), np.float32)
+    gt_boxes[0] = [0.10, 0.10, 0.35, 0.40]
+    gt_boxes[1] = [0.50, 0.50, 0.85, 0.80]
+    gt_boxes[2] = [0.15, 0.60, 0.40, 0.90]
+    gt_boxes[3] = [0.55, 0.05, 0.95, 0.45]  # crowd
+    gt_class_ids = np.array([1, 2, 3, -1, 0, 0], np.int32)
+    gt_masks = np.zeros((6, size, size), np.float32)
+    for g in range(3):
+        y1, x1, y2, x2 = (gt_boxes[g] * (size - 1)).astype(int)
+        gt_masks[g, y1 : y2 + 1, x1 : x2 + 1] = 1.0
+
+    props = np.zeros((20, 4), np.float32)
+    # 3 positives: near-copies of the real GTs (IoU >= 0.5)
+    props[0] = gt_boxes[0] + [0.02, 0.01, 0.02, 0.01]
+    props[1] = gt_boxes[1] + [-0.02, 0.02, -0.02, 0.02]
+    props[2] = gt_boxes[2] + [0.01, -0.02, 0.01, -0.02]
+    # 6 negatives: valid, low IoU with GTs, no crowd overlap
+    for i, (y, x) in enumerate([(0.02, 0.02), (0.40, 0.30), (0.75, 0.30),
+                                 (0.02, 0.70), (0.45, 0.02), (0.88, 0.55)]):
+        props[3 + i] = [y, x, y + 0.08, x + 0.08]
+    # 3 crowd-overlapping (inside the crowd box, low IoU with real GTs):
+    # vetoed from the negative pool by BOTH implementations (the (0.75,0.30)
+    # 'negative' above also lands in the crowd box, so 5 negatives survive)
+    props[9] = [0.60, 0.10, 0.72, 0.25]
+    props[10] = [0.78, 0.28, 0.92, 0.42]
+    return props, gt_class_ids, gt_boxes, gt_masks
+
+
+def test_detection_targets_vs_reference_graph(rng):
+    """Run the reference's detection_targets_graph (crowd veto, 1:3
+    sampling, argmax assignment, delta encoding, mask crop+round) against
+    ops/targets.py::detection_targets on a subsampling-free case; compare
+    the selected ROI SETS (both shuffle internal order) + per-ROI classes,
+    deltas, and mask targets."""
+    from maskrcnn_tf2_tpu.ops.targets import detection_targets
+
+    props, gt_ids, gt_boxes, gt_masks = _targets_case(rng)
+    t, ratio, std = 12, 0.33, (0.1, 0.1, 0.2, 0.2)
+    cfg = {
+        "train_rois_per_image": t,
+        "roi_positive_ratio": ratio,
+        "bbox_std_dev": np.asarray(std, np.float32),
+        "mask_shape": (28, 28),
+        "use_mini_masks": False,
+    }
+    r_rois, r_ids, r_deltas, r_masks = (
+        x.numpy()
+        for x in ref_layers.detection_targets_graph(
+            tf.constant(props),
+            tf.constant(gt_ids.astype(np.float32)),
+            tf.constant(gt_boxes),
+            tf.constant(np.transpose(gt_masks, (1, 2, 0)) > 0.5),  # [H, W, G]
+            cfg,
+        )
+    )
+
+    import jax
+    import jax.numpy as jnp
+
+    out = detection_targets(
+        jax.random.PRNGKey(3),
+        jnp.asarray(props),
+        jnp.asarray(gt_ids),
+        jnp.asarray(gt_boxes),
+        jnp.asarray(gt_masks),
+        train_rois_per_image=t,
+        roi_positive_ratio=ratio,
+        bbox_std=std,
+        mask_shape=(28, 28),
+    )
+    o_rois = np.asarray(out.rois)
+    o_ids = np.asarray(out.class_ids)
+    o_deltas = np.asarray(out.deltas)
+    o_masks = np.asarray(out.masks)
+
+    def rows(rois, ids):
+        keep = np.any(np.abs(rois) > 0, axis=1)
+        order = np.lexsort(rois[keep].T)
+        return rois[keep][order], ids[keep][order], np.where(keep)[0][order]
+
+    # positive + negative ROI sets are identical
+    r_r, r_i, r_ix = rows(r_rois, r_ids)
+    o_r, o_i, o_ix = rows(o_rois, o_ids)
+    np.testing.assert_allclose(o_r, r_r, atol=1e-6)
+    np.testing.assert_array_equal(o_i.astype(int), r_i.astype(int))
+    assert (o_i > 0).sum() == 3 and (o_i == 0).sum() == 5
+
+    # per-positive deltas: equal once the reference's documented eps-in-log
+    # encode bias (utils.py:795-796) is accounted for
+    for k in range(len(o_ix)):
+        if o_i[k] <= 0:
+            continue
+        ours_d = o_deltas[o_ix[k]]
+        refs_d = r_deltas[r_ix[k]]
+        h = o_r[k][2] - o_r[k][0]
+        w = o_r[k][3] - o_r[k][1]
+        adj = np.array([0, 0, np.log1p(1e-3 / h) / std[2], np.log1p(1e-3 / w) / std[3]])
+        np.testing.assert_allclose(ours_d, refs_d + adj, rtol=1e-4, atol=1e-4)
+        # mask targets: same crop+round semantics (tolerate bilinear 0.5
+        # borderline flips on box-edge samples)
+        mismatch = np.mean(o_masks[o_ix[k]] != r_masks[r_ix[k]])
+        assert mismatch <= 0.02, mismatch
+
+
+def test_refine_detections_vs_reference_layer(rng):
+    """Execute the reference DetectionLayer's per-image refine_detections
+    (class pick, delta apply, window clip, confidence filter, per-class NMS,
+    top-k — mrcnn_layers.py:369-501) against ops/detection.py's batched
+    class-offset implementation on random data."""
+    from maskrcnn_tf2_tpu.ops.detection import refine_detections
+
+    n, c = 24, 5
+    rois = _random_boxes(rng, n)
+    logits = rng.randn(n, c).astype(np.float32) * 2
+    probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    deltas = (rng.randn(n, c, 4) * 0.1).astype(np.float32)
+    window = np.array([0.05, 0.05, 0.95, 0.95], np.float32)
+    std = np.array([0.1, 0.1, 0.2, 0.2], np.float32)
+
+    layer = ref_layers.DetectionLayer(
+        proposals=n,
+        detection_min_confidence=0.3,
+        detection_max_instances=10,
+        detection_nms_threshold=0.4,
+        bbox_std_dev=std,
+        images_per_gpu=1,
+        batch_size=1,
+    )
+    ref = layer.refine_detections(
+        tf.constant(rois), tf.constant(probs), tf.constant(deltas),
+        tf.constant(window),
+    ).numpy()
+
+    ours = np.asarray(
+        refine_detections(
+            rois[None], probs[None], deltas[None], window[None],
+            bbox_std=tuple(std), min_confidence=0.3, nms_threshold=0.4,
+            max_instances=10,
+        )
+    )[0]
+    r_keep = ref[ref[:, 5] > 0]
+    o_keep = ours[ours[:, 5] > 0]
+    assert len(r_keep) == len(o_keep)
+    np.testing.assert_allclose(o_keep, r_keep, rtol=1e-4, atol=1e-5)
