@@ -198,7 +198,16 @@ def _qres_on() -> bool:
 def _block_out_q(m: nn.Module, out: Array, quant: str):
     """Block-output quant bookkeeping: in 'calib', record the running amax of
     the block output (the scale every consumer of this edge shares); in
-    'int8', emit the s8 copy + scale as the block's return value."""
+    'int8', emit the s8 copy + scale as the block's return value.
+
+    Calibration artifacts produced before the qres path existed have no
+    ``out_amax`` entries; reading one from the immutable 'quant' collection
+    would fail deep inside flax. Detect that and keep the bf16 edge for this
+    block (the pre-qres behavior) instead of requiring the user to know
+    about MASKRCNN_TPU_INT8_QRES=0 (ADVICE r4).
+    """
+    if quant == "int8" and not m.has_variable("quant", "out_amax"):
+        return out
     amax = m.variable("quant", "out_amax", lambda: jnp.zeros((), jnp.float32))
     if quant == "calib":
         amax.value = jnp.maximum(

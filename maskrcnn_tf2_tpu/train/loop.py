@@ -320,6 +320,14 @@ def _epoch_loop(
         epoch_iter = prefetch(
             train_loader.epoch(fixed_steps=fixed), size=config.prefetch_size
         )
+        # Multi-host preempt consensus flag from the PREVIOUS step: fetching
+        # the current step's all-reduced flag would host-sync every step and
+        # serialize dispatch (no async pipelining, ADVICE r4). The one-step
+        # fetch delay costs one extra step of preemption-stop latency; every
+        # host applies the same delay, so all still break at the same
+        # boundary, and a flag raised on the epoch's LAST step is caught by
+        # the epoch-boundary consensus pmax below.
+        pending_preempt = None
         for batch_np in epoch_iter:
             if steps_per_epoch and spe >= steps_per_epoch:
                 break
@@ -348,12 +356,14 @@ def _epoch_loop(
                 client_barrier("train_model_first_step")
             state, losses = train_step(state, batch, step_rng)
             if n_proc > 1:
-                # One scalar fetch per step (~host round-trip; negligible vs
-                # the step). pmean > 0 <=> SOME host flagged — every host
-                # reads the same value, so all break at the same boundary.
+                # pmean > 0 <=> SOME host flagged. Fetch the previous step's
+                # flag (already resolved on device — a free host read) and
+                # keep this step's on device, preserving async dispatch.
                 losses = dict(losses)
-                if float(losses.pop("preempt")) > 0:
+                flag = losses.pop("preempt")
+                if pending_preempt is not None and float(pending_preempt) > 0:
                     preempt["stop"] = True
+                pending_preempt = flag
             if profile_steps and global_step == profile_steps[1]:
                 jax.block_until_ready(losses)
                 jax.profiler.stop_trace()

@@ -120,12 +120,17 @@ def test_roi_align_kernel_exact_at_all_aspect_ratios():
         np.testing.assert_allclose(out_p, out_g, atol=3e-5)
 
 
-def test_roi_align_kernel_vjp_matches_gather_gradient():
-    """The custom-VJP scatter kernel (serial RMW accumulation) is the exact
-    transpose: feature cotangents match jax.grad of the gather oracle, and
-    boxes receive zero gradient (reference stop_gradient semantics)."""
+@pytest.mark.parametrize("bwd", ["vmem", "rmw"])
+def test_roi_align_kernel_vjp_matches_gather_gradient(bwd, monkeypatch):
+    """Both backward kernels are the exact transpose: feature cotangents
+    match jax.grad of the gather oracle, and boxes receive zero gradient
+    (reference stop_gradient semantics). Parametrized over the bwd A/B env
+    because the VMEM-resident kernel is the default for every pyramid under
+    88 MB — without forcing ``rmw`` the RMW fallback (still live for larger
+    real-TPU pyramids) would have no oracle coverage (ADVICE r4)."""
     import jax
 
+    monkeypatch.setenv("MASKRCNN_TPU_ROIALIGN_BWD", bwd)
     rs = np.random.RandomState(5)
     b, n = 1, 8
     feats = _pyramid(rs)

@@ -346,6 +346,25 @@ def test_quantized_residual_stream_ab(monkeypatch):
     rel_ab = np.linalg.norm(outs["1"] - outs["0"]) / (np.linalg.norm(outs["0"]) + 1e-9)
     assert rel_ab < 0.08, rel_ab
 
+    # A calibration artifact from BEFORE the qres path (no out_amax entries)
+    # must still apply in int8 mode with qres default-on: blocks without a
+    # recorded scale silently keep the bf16 edge (ADVICE r4) — bitwise the
+    # QRES=0 graph — instead of dying in flax with a missing-variable error.
+    def strip_out_amax(node):
+        if isinstance(node, dict) or hasattr(node, "items"):
+            return {
+                k: strip_out_amax(v) for k, v in node.items() if k != "out_amax"
+            }
+        return node
+
+    monkeypatch.setenv("MASKRCNN_TPU_INT8_QRES", "1")
+    legacy = np.asarray(
+        int8_net.apply(
+            {**variables, "quant": strip_out_amax(quant)}, x, train_bn=False
+        )["C5"]
+    )
+    np.testing.assert_array_equal(legacy, outs["0"])
+
 
 def test_int8_engine_build_load_roundtrip(tmp_path):
     """The combined TRT-analog flow: calibrate -> int8 config -> AOT engine
