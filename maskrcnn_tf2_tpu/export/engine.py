@@ -126,7 +126,8 @@ def _encode_weights(variables):
     manifest = []
     chunks = []
     for path, arr in _flatten_vars(variables):
-        arr = np.ascontiguousarray(arr)
+        # NOT ascontiguousarray: it promotes 0-d arrays (quant scales) to
+        # shape (1,); tobytes() already emits a C-order copy for any layout.
         manifest.append(
             {"key": path, "dtype": arr.dtype.name, "shape": list(arr.shape)}
         )
