@@ -97,6 +97,17 @@ def _torch_resnet_key(name: str) -> Tuple[Tuple[str, ...], str] | None:
         kind = {"weight": "scale", "bias": "bias",
                 "running_mean": "mean", "running_var": "var"}[m.group(1)]
         return (("stem", "bn"), kind)
+    # SENet154 deep stem (timm legacy_senet154): layer0.conv{1,2,3} /
+    # layer0.bn{1,2,3} -> our stem{1,2,3} ConvBN trio (the reference's
+    # 3x 3x3 stem, senet_models.py:270-303; resnet.py deep_stem=True).
+    m = re.match(r"layer0\.conv(\d)\.weight", name)
+    if m:
+        return ((f"stem{m.group(1)}", "conv", "kernel"), "conv")
+    m = re.match(r"layer0\.bn(\d)\.(weight|bias|running_mean|running_var)", name)
+    if m:
+        kind = {"weight": "scale", "bias": "bias",
+                "running_mean": "mean", "running_var": "var"}[m.group(2)]
+        return ((f"stem{m.group(1)}", "bn"), kind)
     m = re.match(
         r"layer(\d+)\.(\d+)\.(conv|bn)(\d)\.(weight|bias|running_mean|running_var)",
         name,
@@ -304,12 +315,57 @@ def convert_timm_efficientnet(state_dict) -> Dict[str, Dict]:
     return {"params": _unflatten(params), "batch_stats": _unflatten(stats)}
 
 
+def convert_timm_mobilenet_v1(state_dict) -> Dict[str, Dict]:
+    """timm ``mobilenetv1_100`` state_dict -> flax ``MobileNetV1`` pytrees.
+
+    timm layout: ``conv_stem``/``bn1`` stem; ``blocks.{s}.{b}`` is a
+    DepthwiseSeparableConv with ``conv_dw``/``bn1`` + ``conv_pw``/``bn2`` —
+    13 blocks total in row-major (stage, block) order. Ours: flat top-level
+    ``stem_conv``/``stem_bn`` + ``b{1..13}_{dw,pw}_{conv,bn}``
+    (models/backbones/mobilenet.py:34-75; reference factory row
+    models_factory.py:59). Depthwise kernels transpose
+    ``[C, 1, kh, kw] -> [kh, kw, 1, C]`` like every other dw site here.
+    """
+    sd = {k: v for k, v in state_dict.items()}
+    params: Dict[Tuple[str, ...], np.ndarray] = {}
+    stats: Dict[Tuple[str, ...], np.ndarray] = {}
+    _emit_conv_bn(
+        params, stats, "stem", np.asarray(sd["conv_stem.weight"]),
+        _collect_torch_bn(sd, "bn1"),
+    )
+    idx = 0
+    s = 0
+    while f"blocks.{s}.0.conv_dw.weight" in sd:
+        b = 0
+        while f"blocks.{s}.{b}.conv_dw.weight" in sd:
+            idx += 1
+            pre = f"blocks.{s}.{b}"
+            _emit_conv_bn(
+                params, stats, f"b{idx}_dw",
+                np.asarray(sd[f"{pre}.conv_dw.weight"]),
+                _collect_torch_bn(sd, f"{pre}.bn1"),
+            )
+            _emit_conv_bn(
+                params, stats, f"b{idx}_pw",
+                np.asarray(sd[f"{pre}.conv_pw.weight"]),
+                _collect_torch_bn(sd, f"{pre}.bn2"),
+            )
+            b += 1
+        s += 1
+    return {"params": _unflatten(params), "batch_stats": _unflatten(stats)}
+
+
 def convert_torch_backbone(state_dict, backbone: str | None = None) -> Dict[str, Dict]:
     """Dispatch a torch state_dict to the right converter, sniffing the
     layout when ``backbone`` doesn't decide it."""
     keys = set(state_dict.keys())
     if any(k.startswith("conv_stem") for k in keys):
-        return convert_timm_efficientnet(state_dict)
+        # timm mobilenetv1_100 and timm efficientnet_b* share the conv_stem/
+        # blocks skeleton; only EfficientNet has 3-conv MBConv blocks
+        # (conv_pwl) and SE convs.
+        if any(".conv_pwl." in k or ".se." in k for k in keys):
+            return convert_timm_efficientnet(state_dict)
+        return convert_timm_mobilenet_v1(state_dict)
     if any(k.startswith("features.0.0") for k in keys):
         return convert_torch_mobilenet_v2(state_dict)
     return convert_torch_resnet(state_dict)
@@ -332,8 +388,9 @@ def load_backbone_params(variables, source: str, backbone: str | None = None):
 
     Sources: flax-path-keyed ``.npz`` (this framework's interchange format,
     any backbone) or a torch ``.pt``/``.pth`` state_dict (torchvision
-    ResNet/ResNeXt, timm SE-ResNet, torchvision MobileNetV2, timm
-    EfficientNet — layout auto-sniffed). The reference equivalent is
+    ResNet/ResNeXt, timm SE-ResNet/SENet154, torchvision MobileNetV2, timm
+    MobileNetV1, timm EfficientNet — layout auto-sniffed; every
+    ``backbone_names()`` key has a converter). The reference equivalent is
     ``backbone_init_weights: 'imagenet'`` resolved through keras
     classification_models (resnet_models.py:292-297, config.py:163).
     """

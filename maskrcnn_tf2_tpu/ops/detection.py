@@ -96,7 +96,15 @@ def refine_detections(
         nms_threshold=nms_threshold,
         max_instances=max_instances,
     )
-    return jax.vmap(fn)(
+    batched = jax.vmap(fn)
+    # GSPMD tracing with the Pallas NMS engaged: shard_map island over the
+    # data axis (see ops/proposal.py::generate_proposals).
+    from maskrcnn_tf2_tpu.ops.nms import _use_pallas
+    from maskrcnn_tf2_tpu.utils.platform import spmd_shard_batched
+
+    if _use_pallas():
+        batched = spmd_shard_batched(batched, 4)
+    return batched(
         rois.astype(jnp.float32),
         probs.astype(jnp.float32),
         deltas.astype(jnp.float32),

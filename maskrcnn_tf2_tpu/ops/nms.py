@@ -40,12 +40,17 @@ TILE = 512
 
 def _use_pallas() -> bool:
     """Pallas kernel on real TPU unless disabled via MASKRCNN_TPU_NMS=xla
-    or a surrounding utils.platform.no_pallas() scope (GSPMD tracing)."""
-    from maskrcnn_tf2_tpu.utils.platform import on_tpu, pallas_allowed
+    or a surrounding utils.platform.no_pallas() scope; forced (in interpret
+    mode) off-TPU by MASKRCNN_TPU_PALLAS=interpret for CPU-mesh tests."""
+    from maskrcnn_tf2_tpu.utils.platform import (
+        on_tpu,
+        pallas_allowed,
+        pallas_forced_interpret,
+    )
 
     if os.environ.get("MASKRCNN_TPU_NMS", "").lower() == "xla":
         return False
-    return pallas_allowed() and on_tpu()
+    return pallas_allowed() and (on_tpu() or pallas_forced_interpret())
 
 
 def _self_suppress(iou_block: jnp.ndarray, row_valid: jnp.ndarray) -> jnp.ndarray:
@@ -164,8 +169,14 @@ def non_max_suppression(
             valid_s = jnp.concatenate([valid_s, jnp.zeros((pad,), bool)])
         # Early exit once max_output_size boxes are kept: only the top
         # max_output_size kept rows (in score order) are consumed below.
+        from maskrcnn_tf2_tpu.utils.platform import pallas_forced_interpret
+
         keep = greedy_keep_pallas(
-            boxes_s, valid_s, iou_threshold, limit=max_output_size
+            boxes_s,
+            valid_s,
+            iou_threshold,
+            limit=max_output_size,
+            interpret=pallas_forced_interpret(),
         )[:n]
     else:
         # Pad to a tile multiple (padding rows are invalid).

@@ -122,7 +122,16 @@ def generate_proposals(
         nms_threshold=nms_threshold,
         approx_topk=approx_topk,
     )
-    return jax.vmap(fn, in_axes=(0, 0, None))(scores, deltas, anchors)
+    batched = jax.vmap(fn, in_axes=(0, 0, None))
+    # Under GSPMD tracing (utils.platform.pallas_spmd scope) with the Pallas
+    # NMS engaged, run the whole per-image funnel as a shard_map island over
+    # the data axis so the kernel survives auto-partitioning.
+    from maskrcnn_tf2_tpu.ops.nms import _use_pallas
+    from maskrcnn_tf2_tpu.utils.platform import spmd_shard_batched
+
+    if _use_pallas():
+        batched = spmd_shard_batched(batched, 2, 1)
+    return batched(scores, deltas, anchors)
 
 
 def _proposals_one_image_slim(
@@ -181,4 +190,10 @@ def generate_proposals_slim(
         nms_threshold=nms_threshold,
         approx_topk=approx_topk,
     )
-    return jax.vmap(fn, in_axes=(0, 0, None, None))(rank, p5, anchors, std)
+    batched = jax.vmap(fn, in_axes=(0, 0, None, None))
+    from maskrcnn_tf2_tpu.ops.nms import _use_pallas
+    from maskrcnn_tf2_tpu.utils.platform import spmd_shard_batched
+
+    if _use_pallas():  # see generate_proposals
+        batched = spmd_shard_batched(batched, 2, 2)
+    return batched(rank, p5, anchors, std)

@@ -305,7 +305,12 @@ def pyramid_roi_align(
       (measured 68 vs 56 img/s R101@1024).
     * CPU -> always gather (no MXU; tests/oracles).
     """
-    from maskrcnn_tf2_tpu.utils.platform import on_tpu, pallas_allowed
+    from maskrcnn_tf2_tpu.utils.platform import (
+        on_tpu,
+        pallas_allowed,
+        pallas_forced_interpret,
+        spmd_shard_batched,
+    )
 
     env = os.environ.get("MASKRCNN_TPU_ROIALIGN", "").lower()
     if env in ("pallas", "gather", "matmul"):
@@ -313,18 +318,31 @@ def pyramid_roi_align(
     else:
         # TPU default: the exact Pallas two-mode DMA kernel, both modes —
         # measured vs the XLA paths at both scales (scripts/bench_roialign.py;
-        # custom VJP covers training). CPU: gather (no MXU; tests/oracles).
-        choice = "pallas" if on_tpu() else "gather"
+        # custom VJP covers training). CPU: gather (no MXU; tests/oracles),
+        # unless MASKRCNN_TPU_PALLAS=interpret forces the kernel wiring.
+        choice = (
+            "pallas" if on_tpu() or pallas_forced_interpret() else "gather"
+        )
     if choice == "pallas" and not pallas_allowed():
-        # no_pallas() scope (GSPMD tracing): fall through to the XLA
-        # implementations; training still picks the matmul path below.
+        # no_pallas() scope: fall through to the XLA implementations;
+        # training still picks the matmul path below.
         choice = "gather"
     if choice == "pallas":
         from maskrcnn_tf2_tpu.kernels.roi_align_pallas import pyramid_roi_align_pallas
 
-        return pyramid_roi_align_pallas(
-            features, boxes, pool_size, image_shape, denominator
-        )
+        def call(feats, bx):
+            return pyramid_roi_align_pallas(
+                feats,
+                bx,
+                pool_size,
+                image_shape,
+                denominator,
+                interpret=pallas_forced_interpret(),
+            )
+
+        # Under GSPMD (utils.platform.pallas_spmd scope) the kernel runs as a
+        # per-data-shard shard_map island; identity wrapper otherwise.
+        return spmd_shard_batched(call, 2)(list(features), boxes)
     if choice == "matmul" or (training and _use_matmul()):
         return pyramid_roi_align_matmul(
             features, boxes, pool_size, image_shape, denominator
@@ -348,7 +366,12 @@ def pyramid_roi_align_deferred(
     smaller). Everywhere else ``slot is None`` and ``pooled`` is already in
     original ROI order with exactly N rows.
     """
-    from maskrcnn_tf2_tpu.utils.platform import on_tpu, pallas_allowed
+    from maskrcnn_tf2_tpu.utils.platform import (
+        on_tpu,
+        pallas_allowed,
+        pallas_forced_interpret,
+        spmd_shard_batched,
+    )
 
     env = os.environ.get("MASKRCNN_TPU_ROIALIGN", "").lower()
     if env in ("gather", "matmul") or not pallas_allowed():
@@ -356,7 +379,7 @@ def pyramid_roi_align_deferred(
             pyramid_roi_align(features, boxes, pool_size, image_shape, denominator),
             None,
         )
-    if env != "pallas" and not on_tpu():
+    if env != "pallas" and not (on_tpu() or pallas_forced_interpret()):
         return (
             pyramid_roi_align(
                 features, boxes, pool_size, image_shape, denominator
@@ -367,6 +390,15 @@ def pyramid_roi_align_deferred(
         pyramid_roi_align_pallas_deferred,
     )
 
-    return pyramid_roi_align_pallas_deferred(
-        features, boxes, pool_size, image_shape, denominator
-    )
+    def call(feats, bx):
+        return pyramid_roi_align_pallas_deferred(
+            feats,
+            bx,
+            pool_size,
+            image_shape,
+            denominator,
+            interpret=pallas_forced_interpret(),
+        )
+
+    # GSPMD tracing: per-data-shard shard_map island (see pyramid_roi_align).
+    return spmd_shard_batched(call, 2)(list(features), boxes)

@@ -19,13 +19,16 @@ No reference equivalent: the reference is single-process single-GPU
 (training.py:28-31); SURVEY §2.15 marks TP as the optional beat-the-reference
 axis.
 
-Routing guidance (measured, round 4): because Pallas tpu_custom_calls have
-no SPMD partitioning rule, this path runs the pure-XLA ROIAlign/NMS twins —
-measured +18% train-step time single-chip vs the shard_map path's Pallas
-kernels (98.0 -> 115.8 ms/step, r50@512 b8, scripts/time_train.py with
-NO_PALLAS=1). shard_map DP is therefore the default scaling mode; pick
-gspmd when the classifier head's FC parameters must shard for memory, and
-price in the kernel downgrade.
+Routing guidance (measured, round 5): Pallas tpu_custom_calls have no SPMD
+partitioning rule, so this path used to trace under ``no_pallas()`` and pay
++18% step time for the pure-XLA ROIAlign/NMS twins (98.0 -> 115.8 ms/step,
+r50@512 b8, round 4). Both kernels are per-image independent, so the
+``utils.platform.pallas_spmd`` scope now keeps them as ``shard_map``
+islands over the data axis inside the partitioned program — measured
+90.3 ms/step vs the plain single-device step's 90.1 (scripts/time_train.py
+GSPMD=1 vs default, r50@512 b8, v5e): choosing gspmd for head-memory TP no
+longer prices in a kernel downgrade. shard_map DP remains the default
+scaling mode (one hand-placed fused all-reduce).
 """
 
 from __future__ import annotations
@@ -133,20 +136,23 @@ def make_gspmd_train_step(
     )
     step = make_train_step(config, axis_name=None)
 
-    def step_xla(*args):
-        # Pallas tpu_custom_calls have no SPMD partitioning rule; keep the
-        # auto-partitioned program on the pure-XLA NMS/ROIAlign paths. The
-        # scope is active whenever jit TRACES (and is free at run time).
-        from maskrcnn_tf2_tpu.utils.platform import no_pallas
+    def step_kernels(*args):
+        # Pallas tpu_custom_calls have no SPMD partitioning rule, but both
+        # kernels are per-image independent: the pallas_spmd scope makes
+        # their batched call sites shard_map islands over the data axis, so
+        # the auto-partitioned program KEEPS them (the old no_pallas()
+        # routing paid a measured +18% step, 98.0 -> 115.8 ms r50@512 b8).
+        # The scope is active whenever jit TRACES (free at run time).
+        from maskrcnn_tf2_tpu.utils.platform import pallas_spmd
 
-        with no_pallas():
+        with pallas_spmd(mesh, config.mesh_data_axis):
             return step(*args)
 
     specs = state_shardings(state, mesh, config)
     batch_sharding = NamedSharding(mesh, P(config.mesh_data_axis))
     repl = NamedSharding(mesh, P())
     jstep = jax.jit(
-        step_xla,
+        step_kernels,
         in_shardings=(specs, batch_sharding, repl),
         out_shardings=(specs, repl),
         compiler_options=compiler_options,
@@ -163,17 +169,17 @@ def make_gspmd_eval_step(
 
     step = make_eval_step(config, axis_name=None)
 
-    def step_xla(*args):
-        from maskrcnn_tf2_tpu.utils.platform import no_pallas
+    def step_kernels(*args):
+        from maskrcnn_tf2_tpu.utils.platform import pallas_spmd
 
-        with no_pallas():  # same rationale as make_gspmd_train_step
-            return step(*args)
+        with pallas_spmd(mesh, config.mesh_data_axis):
+            return step(*args)  # same rationale as make_gspmd_train_step
 
     specs = state_shardings(state, mesh, config)
     batch_sharding = NamedSharding(mesh, P(config.mesh_data_axis))
     repl = NamedSharding(mesh, P())
     return jax.jit(
-        step_xla,
+        step_kernels,
         in_shardings=(specs, batch_sharding, repl),
         out_shardings=repl,
         compiler_options=compiler_options,

@@ -16,6 +16,7 @@ matmul ROIAlign, s2d stem) stay enabled; the partitioner handles them.
 
 from __future__ import annotations
 
+import os
 import threading
 from contextlib import contextmanager
 
@@ -86,3 +87,62 @@ def no_pallas():
         yield
     finally:
         _STATE.no_pallas = prev
+
+
+def pallas_forced_interpret() -> bool:
+    """``MASKRCNN_TPU_PALLAS=interpret`` routes the NMS/ROIAlign gates to the
+    Pallas kernels in INTERPRET mode even off-TPU — the CPU-mesh tests use it
+    to exercise the exact GSPMD+shard_map kernel wiring the TPU runs."""
+    return os.environ.get("MASKRCNN_TPU_PALLAS", "").lower() == "interpret"
+
+
+def pallas_spmd_info():
+    """``(mesh, data_axis)`` of the surrounding :func:`pallas_spmd` scope, or
+    None outside one."""
+    return getattr(_STATE, "pallas_spmd", None)
+
+
+@contextmanager
+def pallas_spmd(mesh, data_axis: str):
+    """Keep Pallas kernels inside a GSPMD-partitioned program.
+
+    ``tpu_custom_call`` has no SPMD partitioning rule, so an auto-partitioned
+    (jit + shardings) trace cannot contain one — round 3 priced the resulting
+    pure-XLA downgrade at +18% step time (98.0 -> 115.8 ms/step r50@512 b8).
+    Both kernels are per-image independent, so inside this scope their
+    *batched* call sites (ops/proposal.py, ops/detection.py,
+    ops/roi_align.py) wrap themselves in ``jax.shard_map`` over ``data_axis``
+    via :func:`spmd_shard_batched` — a manual-partitioning island the
+    partitioner treats as per-shard code, kernels intact. Replaces the old
+    ``no_pallas()`` routing in parallel/gspmd.py.
+    """
+    prev = getattr(_STATE, "pallas_spmd", None)
+    _STATE.pallas_spmd = (mesh, data_axis)
+    try:
+        yield
+    finally:
+        _STATE.pallas_spmd = prev
+
+
+def spmd_shard_batched(fn, n_batched: int, n_replicated: int = 0):
+    """Wrap ``fn`` in ``shard_map`` over the ambient :func:`pallas_spmd`
+    scope's data axis; identity outside a scope.
+
+    ``fn``'s first ``n_batched`` positional args (pytrees of arrays with a
+    leading batch dim) shard over the data axis, the next ``n_replicated``
+    are replicated; every output is batched. ``check_vma=False``: operands
+    are data-sharded activations that GSPMD already lays out this way — the
+    wrapper changes *partitioning authority* (manual vs auto), not placement,
+    and vma tracking through pallas_call/custom_vjp is not supported.
+    """
+    info = pallas_spmd_info()
+    if info is None:
+        return fn
+    mesh, axis = info
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    in_specs = tuple([P(axis)] * n_batched + [P()] * n_replicated)
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=P(axis), check_vma=False
+    )

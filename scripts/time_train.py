@@ -71,7 +71,24 @@ def main():
     step = make_train_step(tcfg)
     rng = jax.random.PRNGKey(1)
     t0 = time.perf_counter()
-    if os.environ.get("NO_PALLAS") == "1":
+    if os.environ.get("GSPMD") == "1":
+        # Time the REAL auto-partitioned step on a 1x1 mesh: same trace the
+        # multi-chip DP x TP path compiles, including the pallas_spmd
+        # shard_map islands that keep the kernels (r5; the old no_pallas
+        # routing was the measured +18%). On one chip the partitioner
+        # inserts no collectives, so the delta vs the plain step isolates
+        # island/wiring overhead.
+        from maskrcnn_tf2_tpu.parallel.gspmd import (
+            make_gspmd_train_step,
+            make_mesh_2d,
+            shard_global_batch,
+        )
+
+        mesh = make_mesh_2d(1, 1, tcfg.mesh_data_axis, tcfg.mesh_model_axis)
+        jstep, state = make_gspmd_train_step(tcfg, mesh, state)
+        batch_t = shard_global_batch(batch_t, mesh, tcfg)
+        compiled = jstep.lower(state, batch_t, rng).compile()
+    elif os.environ.get("NO_PALLAS") == "1":
         # A/B the gspmd-path kernel set (VERDICT r3 next #5): GSPMD traces
         # under no_pallas() (tpu_custom_call has no SPMD partitioning rule),
         # so this times the XLA ROIAlign/NMS train step single-chip — the

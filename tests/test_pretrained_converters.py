@@ -229,3 +229,105 @@ def test_backbone_init_weights_rejects_wrong_checkpoint(tmp_path):
     assert backbone_leaf_count(wrapped) > 0
     with pytest.raises(ValueError, match="covered only"):
         init_backbone_weights(wrapped, cfg)
+
+
+# ----------------------------------------------------------------------
+def test_resnext50_conversion_roundtrip():
+    """Grouped-conv (cardinality-32) path of the torchvision mapping —
+    previously only the SE-ResNet18 test covered _torch_resnet_key."""
+    variables = _init("resnext50")
+    flat = _flatten(variables["params"])
+    stats = _flatten(variables["batch_stats"])
+    sd = {}
+    sd["conv1.weight"] = conv_t(flat, ("stem", "conv", "kernel"))
+    put_bn(sd, "bn1", flat, stats, ("stem", "bn"))
+    for stage, blocks in enumerate([3, 4, 6, 3], start=1):
+        for b in range(blocks):
+            ours = f"stage{stage}_block{b + 1}"
+            for ci in (1, 2, 3):
+                sd[f"layer{stage}.{b}.conv{ci}.weight"] = conv_t(
+                    flat, (ours, f"conv{ci}", "conv", "kernel")
+                )
+                put_bn(sd, f"layer{stage}.{b}.bn{ci}", flat, stats, (ours, f"conv{ci}", "bn"))
+            if (ours, "downsample", "conv", "kernel") in flat:
+                sd[f"layer{stage}.{b}.downsample.0.weight"] = conv_t(
+                    flat, (ours, "downsample", "conv", "kernel")
+                )
+                put_bn(
+                    sd, f"layer{stage}.{b}.downsample.1", flat, stats,
+                    (ours, "downsample", "bn"),
+                )
+    # grouped conv2 kernels have in/groups channel dim - mapping is shape
+    # -agnostic, the roundtrip pins it
+    converted = convert_torch_resnet(sd)
+    assert_roundtrip(variables, converted)
+    assert_roundtrip(variables, convert_torch_backbone(sd))
+
+
+def test_senet154_deep_stem_conversion_roundtrip():
+    """SENet154's 3x 3x3 deep stem (timm legacy_senet154 layer0.conv{1,2,3})
+    maps onto our stem{1,2,3} ConvBN trio (reference senet_models.py:270-303);
+    the 25th and last backbone family with a tested weight-ingest story."""
+    variables = _init("senet154")
+    flat = _flatten(variables["params"])
+    stats = _flatten(variables["batch_stats"])
+    sd = {}
+    for i in (1, 2, 3):
+        sd[f"layer0.conv{i}.weight"] = conv_t(flat, (f"stem{i}", "conv", "kernel"))
+        put_bn(sd, f"layer0.bn{i}", flat, stats, (f"stem{i}", "bn"))
+    for stage, blocks in enumerate([3, 8, 36, 3], start=1):
+        for b in range(blocks):
+            ours = f"stage{stage}_block{b + 1}"
+            for ci in (1, 2, 3):
+                sd[f"layer{stage}.{b}.conv{ci}.weight"] = conv_t(
+                    flat, (ours, f"conv{ci}", "conv", "kernel")
+                )
+                put_bn(sd, f"layer{stage}.{b}.bn{ci}", flat, stats, (ours, f"conv{ci}", "bn"))
+            for fc in ("fc1", "fc2"):
+                sd[f"layer{stage}.{b}.se_module.{fc}.weight"] = dense_as_conv1x1(
+                    flat, (ours, "se", fc, "kernel")
+                )
+                sd[f"layer{stage}.{b}.se_module.{fc}.bias"] = torch.from_numpy(
+                    np.asarray(flat[(ours, "se", fc, "bias")]).copy()
+                )
+            if (ours, "downsample", "conv", "kernel") in flat:
+                sd[f"layer{stage}.{b}.downsample.0.weight"] = conv_t(
+                    flat, (ours, "downsample", "conv", "kernel")
+                )
+                put_bn(
+                    sd, f"layer{stage}.{b}.downsample.1", flat, stats,
+                    (ours, "downsample", "bn"),
+                )
+    converted = convert_torch_resnet(sd)
+    assert_roundtrip(variables, converted)
+
+
+def test_mobilenet_v1_conversion_roundtrip():
+    """timm mobilenetv1_100 layout (conv_stem + 13 DepthwiseSeparableConv
+    blocks) -> our flat b{1..13}_{dw,pw} naming; the sniffer must NOT route
+    the conv_stem prefix to the EfficientNet converter."""
+    variables = _init("mobilenet")
+    flat = _flatten(variables["params"])
+    stats = _flatten(variables["batch_stats"])
+    sd = {}
+    sd["conv_stem.weight"] = conv_t(flat, ("stem_conv", "kernel"))
+    put_bn(sd, "bn1", flat, stats, ("stem_bn",))
+    # timm stage grouping by stride: [64], [128,128], [256,256], [512x6],
+    # [1024,1024] == our b1..b13 in order
+    stage_sizes = [1, 2, 2, 6, 2]
+    bidx = 0
+    for s, reps in enumerate(stage_sizes):
+        for b in range(reps):
+            bidx += 1
+            pre = f"blocks.{s}.{b}"
+            sd[f"{pre}.conv_dw.weight"] = conv_t(flat, (f"b{bidx}_dw_conv", "kernel"))
+            put_bn(sd, f"{pre}.bn1", flat, stats, (f"b{bidx}_dw_bn",))
+            sd[f"{pre}.conv_pw.weight"] = conv_t(flat, (f"b{bidx}_pw_conv", "kernel"))
+            put_bn(sd, f"{pre}.bn2", flat, stats, (f"b{bidx}_pw_bn",))
+    from maskrcnn_tf2_tpu.models.backbones.pretrained import (
+        convert_timm_mobilenet_v1,
+    )
+
+    converted = convert_timm_mobilenet_v1(sd)
+    assert_roundtrip(variables, converted)
+    assert_roundtrip(variables, convert_torch_backbone(sd))
