@@ -1,0 +1,334 @@
+"""WHOLE-GRAPH reference parity oracle, TRAINING side (VERDICT r4 next #1,
+"bonus": the training graph's target/loss chain end-to-end).
+
+Composes the reference's OWN training chain — ``DetectionTargetLayer`` ->
+``fpn_classifier_graph`` + ``fpn_mask_graph`` (/root/reference/src/model.py
+:488-537, layers at layers/mrcnn_layers.py:284-334, 1124-1198, 1201-1267) ->
+the three head loss graphs (layers/losses.py:331-423) — into ONE executed
+Keras model, injects head weights converted from OUR param pytree, feeds it
+the SAME proposals / GT / FPN features our model trains on (via the
+reference's own ``USE_RPN_ROIS=False`` external-ROI mode, model.py:488-497),
+and compares per-ROI targets, head outputs, and the final loss values
+against our real train-mode forward + ``compute_losses``.
+
+Determinism without shared RNG: the scene gives each image EXACTLY the ROI
+budget — 3 positives (== int(8 * 0.375)) and, after the crowd veto kills
+one candidate, exactly 5 negatives — so both samplers keep everything and
+only the ORDER is random. Rows are matched by sorting on ROI coordinates;
+losses are means over the same multiset, so they compare directly.
+
+Pinned divergences accounted for (both documented per-op in
+test_reference_oracles.py):
+  * the reference's asymmetric ``eps=1e-3`` inside the delta log
+    (common/utils.py:775-797): ours_dh = ref_dh + log1p(eps / roi_h) / std;
+  * none of the sampled ROIs is zero-padding, so the zero-area ROIAlign
+    contract difference (see test_reference_whole_graph) never triggers.
+"""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from test_reference_oracles import _import_mrcnn_layers  # noqa: E402
+import sys  # noqa: E402
+
+from maskrcnn_tf2_tpu.config import MaskRCNNConfig  # noqa: E402
+from maskrcnn_tf2_tpu.losses import compute_losses  # noqa: E402
+from maskrcnn_tf2_tpu.models import MaskRCNN  # noqa: E402
+from maskrcnn_tf2_tpu.ops.image import compose_image_meta  # noqa: E402
+
+import test_reference_whole_graph as WG  # noqa: E402  (weight injection)
+
+ref_layers = _import_mrcnn_layers()
+from layers import losses as ref_losses  # noqa: E402  (path set by the import above)
+
+B, T, G, N = 2, 8, 6, 16
+CFG = MaskRCNNConfig(
+    image_shape=(128, 128, 3),
+    image_min_dim=128,
+    image_max_dim=128,
+    rpn_anchor_scales=(8, 16, 32, 64, 128),
+    pre_nms_limit=256,
+    post_nms_rois_training=64,
+    post_nms_rois_inference=48,
+    num_classes=4,
+    backbone="resnet18",
+    top_down_pyramid_size=64,
+    fpn_cls_fc_layers_size=1024,  # fpnclf squeeze expects 1024 (see WG.CFG)
+    mask_conv_channels=256,  # fpn_mask_graph hardcodes Conv2D(256, ...)
+    compute_dtype="float32",
+    batch_size=B,
+    train_rois_per_image=T,
+    roi_positive_ratio=0.375,  # int(8 * 0.375) == 3 positives, no subsample
+    max_gt_instances=G,
+    use_mini_masks=False,
+    use_rpn_rois=False,  # external-ROI training mode (model.py:488-497)
+    train_bn=False,  # frozen BN: deterministic, stats-update-free
+    train_bn_backbone=False,
+    mask_train_slim=False,  # full mask head for tensor-level parity
+)
+
+
+def _scene(b):
+    """GTs + proposals for image ``b``: 3 positives, exactly 5 surviving
+    negative candidates (a 6th lands in the crowd box and is vetoed by both
+    implementations), 2 crowd-overlapping extras, zero padding to N."""
+    off = 0.04 * b
+    gt_boxes = np.zeros((G, 4), np.float32)
+    gt_boxes[0] = [0.10 + off, 0.10, 0.35 + off, 0.40]
+    gt_boxes[1] = [0.50, 0.50 - off, 0.85, 0.80 - off]
+    gt_boxes[2] = [0.15, 0.60, 0.40, 0.90]
+    gt_boxes[3] = [0.55, 0.05, 0.95, 0.45]  # crowd
+    gt_ids = np.array([1, 2, 3, -1, 0, 0], np.int32)
+    gt_masks = np.zeros((G, 128, 128), np.float32)
+    for g in range(3):
+        y1, x1, y2, x2 = (gt_boxes[g] * 127).astype(int)
+        gt_masks[g, y1 : y2 + 1, x1 : x2 + 1] = 1.0
+        # non-rectangular content so mask-crop parity is non-trivial
+        gt_masks[g, y1 : (y1 + y2) // 2 + 1 : 2, x1 : x2 + 1 : 3] = 0.0
+    props = np.zeros((N, 4), np.float32)
+    props[0] = gt_boxes[0] + [0.02, 0.01, 0.02, 0.01]
+    props[1] = gt_boxes[1] + [-0.02, 0.02, -0.02, 0.02]
+    props[2] = gt_boxes[2] + [0.01, -0.02, 0.01, -0.02]
+    negs = [(0.02, 0.02), (0.40, 0.30), (0.75, 0.30), (0.02, 0.70), (0.45, 0.02), (0.88, 0.55)]
+    for i, (y, x) in enumerate(negs):  # (0.75, 0.30) is inside the crowd
+        props[3 + i] = [y, x, y + 0.08, x + 0.08]
+    props[9] = [0.60, 0.10, 0.72, 0.25]  # crowd-overlapping, vetoed
+    props[10] = [0.78, 0.28, 0.92, 0.42]  # crowd-overlapping, vetoed
+    return props, gt_ids, gt_boxes, gt_masks
+
+
+def _build_reference_train_chain(feat_shapes, meta_size):
+    A = None
+    rois_in = tf.keras.Input(shape=(N, 4), name="in_rois")
+    gt_ids_in = tf.keras.Input(shape=(G,), name="in_gt_ids")
+    gt_boxes_in = tf.keras.Input(shape=(G, 4), name="in_gt_boxes")
+    gt_masks_in = tf.keras.Input(shape=(128, 128, G), name="in_gt_masks")
+    meta_in = tf.keras.Input(shape=(meta_size,), name="in_meta")
+    feats_in = [
+        tf.keras.Input(shape=s[1:], name=f"in_p{i + 2}")
+        for i, s in enumerate(feat_shapes)
+    ]
+    cfg_dict = {
+        "train_rois_per_image": T,
+        "roi_positive_ratio": CFG.roi_positive_ratio,
+        "bbox_std_dev": np.asarray(CFG.bbox_std_dev, np.float32),
+        "mask_shape": tuple(CFG.mask_shape),
+        "use_mini_masks": False,
+        "images_per_gpu": B,
+    }
+    rois_t, tgt_ids, tgt_deltas, tgt_masks = ref_layers.DetectionTargetLayer(
+        config=cfg_dict
+    )([rois_in, gt_ids_in, gt_boxes_in, gt_masks_in])
+    logits, probs, bbox = ref_layers.fpn_classifier_graph(
+        inputs=[rois_t, meta_in, feats_in],
+        pool_size=CFG.pool_size,
+        fc_layers_size=CFG.fpn_cls_fc_layers_size,
+        num_classes=CFG.num_classes,
+        train_bn=False,
+        batch_size=B,
+        post_nms_rois_inference=CFG.post_nms_rois_inference,
+        training=True,
+        frozen=False,
+        leaky_relu=False,
+    )
+    mask = ref_layers.fpn_mask_graph(
+        inputs=[rois_t, meta_in, feats_in],
+        pool_size=CFG.mask_pool_size,
+        num_classes=CFG.num_classes,
+        train_bn=False,
+        frozen=False,
+        leaky_relu=False,
+    )
+    return tf.keras.Model(
+        [rois_in, gt_ids_in, gt_boxes_in, gt_masks_in, meta_in] + feats_in,
+        [rois_t, tgt_ids, tgt_deltas, tgt_masks, logits, bbox, mask],
+    )
+
+
+def test_whole_training_chain_matches_reference():
+    model = MaskRCNN(CFG)
+    rs = np.random.RandomState(42)
+    images = jnp.asarray(rs.rand(B, 128, 128, 3).astype(np.float32) * 255.0)
+    metas = np.stack(
+        [
+            compose_image_meta(
+                i,
+                (128, 128, 3),
+                (128, 128, 3),
+                (0, 0, 128, 128),
+                1.0,
+                np.ones(CFG.num_classes, np.float32),
+            )
+            for i in range(B)
+        ]
+    )
+    meta = jnp.asarray(metas)
+    scenes = [_scene(b) for b in range(B)]
+    props = jnp.asarray(np.stack([s[0] for s in scenes]))
+    gt_ids = jnp.asarray(np.stack([s[1] for s in scenes]))
+    gt_boxes = jnp.asarray(np.stack([s[2] for s in scenes]))
+    gt_masks = jnp.asarray(np.stack([s[3] for s in scenes]))
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        images,
+        meta,
+        gt_ids,
+        gt_boxes,
+        gt_masks,
+        input_rois=props,
+        train=True,
+    )
+    variables = jax.device_get(variables)
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    import flax
+
+    variables = flax.core.unfreeze(variables) if hasattr(flax.core, "unfreeze") else variables
+    for coll in ("params", "batch_stats"):
+        variables[coll] = jax.tree_util.tree_map(np.asarray, dict(variables[coll]))
+    WG._randomize_bn(
+        np.random.RandomState(7),
+        variables["params"]["classifier"],
+        variables["batch_stats"]["classifier"],
+    )
+    WG._randomize_bn(
+        np.random.RandomState(8),
+        variables["params"]["mask_head"],
+        variables["batch_stats"]["mask_head"],
+    )
+
+    # --- OUR side: the real train-mode forward + losses
+    outputs = model.apply(
+        variables,
+        images,
+        meta,
+        gt_ids,
+        gt_boxes,
+        gt_masks,
+        input_rois=props,
+        train=True,
+        rngs={"sampling": jax.random.PRNGKey(5)},
+    )
+    _, our_losses = compute_losses(
+        outputs,
+        jnp.zeros((B, 10), jnp.int32),  # rpn targets unused: use_rpn_rois=False
+        jnp.zeros((B, 10, 4), jnp.float32),
+        jnp.ones((B, CFG.num_classes), jnp.float32),
+        CFG,
+    )
+    feats = model.apply(variables, images, False, method=MaskRCNN.backbone_fpn_rpn)
+    mrcnn_feats = [np.asarray(f) for f in feats[1]]
+
+    # --- reference side: one executed Keras model with OUR weights
+    ref_model = _build_reference_train_chain(
+        [f.shape for f in mrcnn_feats], CFG.meta_size
+    )
+    WG._inject_weights(ref_model, variables)
+    r_rois, r_ids, r_deltas, r_masks, r_logits, r_bbox, r_mask = (
+        np.asarray(t)
+        for t in ref_model(
+            [
+                np.asarray(props),
+                np.asarray(gt_ids, np.float32),
+                np.asarray(gt_boxes),
+                np.transpose(np.asarray(gt_masks), (0, 2, 3, 1)) > 0.5,
+                metas.astype(np.float32),
+            ]
+            + list(mrcnn_feats)
+        )
+    )
+
+    o_rois = np.asarray(outputs["rois"])
+    o_ids = np.asarray(outputs["target_class_ids"])
+    o_deltas = np.asarray(outputs["target_deltas"])
+    o_tmasks = np.asarray(outputs["target_masks"])
+    o_logits = np.asarray(outputs["mrcnn_class_logits"])
+    o_bbox = np.asarray(outputs["mrcnn_deltas"])
+    o_mask = np.asarray(outputs["mrcnn_masks"])
+
+    std = np.asarray(CFG.bbox_std_dev, np.float32)
+    for b in range(B):
+        assert o_rois[b].shape == r_rois[b].shape == (T, 4)
+        # every slot is a real ROI (the scene fills the budget exactly)
+        assert (o_rois[b].sum(axis=1) > 0).all() and (r_rois[b].sum(axis=1) > 0).all()
+        o_ord = np.lexsort(o_rois[b].T)
+        r_ord = np.lexsort(r_rois[b].T)
+        np.testing.assert_allclose(
+            o_rois[b][o_ord], r_rois[b][r_ord], rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_array_equal(o_ids[b][o_ord], r_ids[b][r_ord].astype(np.int32))
+
+        # target deltas: equal once the reference's documented eps-in-log
+        # divergence is added back (ours_dh = ref_dh + log1p(eps/h)/std)
+        h = o_rois[b][o_ord, 2] - o_rois[b][o_ord, 0]
+        w = o_rois[b][o_ord, 3] - o_rois[b][o_ord, 1]
+        corr = np.zeros((T, 4), np.float32)
+        pos = o_ids[b][o_ord] > 0
+        corr[pos, 2] = np.log1p(1e-3 / np.maximum(h[pos], 1e-9)) / std[2]
+        corr[pos, 3] = np.log1p(1e-3 / np.maximum(w[pos], 1e-9)) / std[3]
+        np.testing.assert_allclose(
+            o_deltas[b][o_ord], r_deltas[b][r_ord] + corr, rtol=1e-4, atol=1e-5
+        )
+
+        # target masks (crop + resize + round parity through the chain)
+        np.testing.assert_allclose(
+            o_tmasks[b][o_ord], r_masks[b][r_ord], atol=1e-4
+        )
+
+        # head outputs on identical ROI multisets + weights
+        np.testing.assert_allclose(
+            o_logits[b][o_ord], r_logits[b][r_ord], rtol=2e-3, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            o_bbox[b][o_ord], r_bbox[b][r_ord], rtol=2e-3, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            o_mask[b][o_ord], r_mask[b][r_ord], atol=2e-3
+        )
+
+    # --- losses end-to-end: the reference's own loss graphs on its own
+    # chain outputs vs our compute_losses. The bbox loss consumes the
+    # eps-corrected targets (sorted-order correction applied per image).
+    cfg_loss = {"num_classes": CFG.num_classes, "batch_size": B}
+    ref_class = float(
+        ref_losses.mrcnn_class_loss_graph(
+            tf.constant(r_ids),
+            tf.constant(r_logits),
+            tf.constant(np.ones((B, CFG.num_classes), np.float32)),
+            cfg_loss,
+        )
+    )
+    r_deltas_fixed = np.array(r_deltas)
+    for b in range(B):
+        h = r_rois[b, :, 2] - r_rois[b, :, 0]
+        w = r_rois[b, :, 3] - r_rois[b, :, 1]
+        pos = r_ids[b] > 0
+        r_deltas_fixed[b, pos, 2] += np.log1p(1e-3 / np.maximum(h[pos], 1e-9)) / std[2]
+        r_deltas_fixed[b, pos, 3] += np.log1p(1e-3 / np.maximum(w[pos], 1e-9)) / std[3]
+    ref_bbox = float(
+        ref_losses.mrcnn_bbox_loss_graph(
+            tf.constant(r_deltas_fixed),
+            tf.constant(r_ids),
+            tf.constant(r_bbox),
+            cfg_loss,
+        )
+    )
+    ref_mask = float(
+        ref_losses.mrcnn_mask_loss_graph(
+            tf.constant(r_masks), tf.constant(r_ids), tf.constant(r_mask)
+        )
+    )
+    np.testing.assert_allclose(
+        float(our_losses["mrcnn_class_loss"]), ref_class, rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(our_losses["mrcnn_bbox_loss"]), ref_bbox, rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(our_losses["mrcnn_mask_loss"]), ref_mask, rtol=2e-3, atol=2e-4
+    )
