@@ -195,6 +195,20 @@ def _qres_on() -> bool:
     return os.environ.get("MASKRCNN_TPU_INT8_QRES", "1") != "0"
 
 
+def _qc_on() -> bool:
+    """s8 C endpoints (VERDICT r4 weak #7 next notch): stage-LAST blocks also
+    emit (s8, scale), so the C2..C5 stage edges — the biggest activation
+    writes in the backbone — reach BOTH consumers (FPN lateral + next
+    stage's block1/downsample) as s8. Each consumer was re-quantizing the
+    bf16 edge against its own calibrated amax anyway; the producer's
+    out_amax IS that same tensor's running max, so the scales are
+    equivalent (same argument as the intra-stage stream). Default on with
+    qres; MASKRCNN_TPU_INT8_QC=0 restores bf16 C edges for A/B."""
+    import os
+
+    return _qres_on() and os.environ.get("MASKRCNN_TPU_INT8_QC", "1") != "0"
+
+
 def _block_out_q(m: nn.Module, out: Array, quant: str):
     """Block-output quant bookkeeping: in 'calib', record the running amax of
     the block output (the scale every consumer of this edge shares); in
@@ -336,15 +350,18 @@ class ResNet(nn.Module):
         endpoints = {"C1": c1}
         features = 64
         # Quantized residual stream: intra-stage block->block edges carry
-        # (s8, scale) instead of bf16 (the stage-last block emits plain bf16
-        # for the C endpoint, which has multiple consumers: FPN + next stage).
-        # calib ALWAYS records out_amax (cheap) so one calibration artifact
-        # serves both A/B settings of MASKRCNN_TPU_INT8_QRES at int8 time.
+        # (s8, scale) instead of bf16. Stage-LAST blocks emit s8 too when
+        # _qc_on() — the C endpoint's two consumers (FPN lateral + next
+        # stage) both re-quantized the bf16 edge anyway (fpn.py handles the
+        # tuple form). calib ALWAYS records out_amax (cheap) so one
+        # calibration artifact serves every A/B setting at int8 time.
         qres = self.quant == "calib" or (self.quant == "int8" and _qres_on())
+        qc = self.quant == "calib" or (self.quant == "int8" and _qc_on())
         for stage_idx, num_blocks in enumerate(self.stage_sizes):
             for block_idx in range(num_blocks):
                 strides = (2, 2) if (block_idx == 0 and stage_idx > 0) else (1, 1)
-                emit = qres and block_idx < num_blocks - 1
+                last = block_idx == num_blocks - 1
+                emit = (qres and not last) or (qc and last)
                 name = f"stage{stage_idx + 1}_block{block_idx + 1}"
                 if self.block == "basic":
                     x = BasicBlock(

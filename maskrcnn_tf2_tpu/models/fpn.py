@@ -31,7 +31,12 @@ class FPN(nn.Module):
     @nn.compact
     def __call__(self, endpoints: Dict[str, Array]) -> Tuple[List[Array], List[Array]]:
         d = self.dtype
-        c2, c3, c4, c5 = (endpoints[k].astype(d) for k in ("C2", "C3", "C4", "C5"))
+        # int8 + s8 C endpoints (resnet.py _qc_on): stage edges may arrive as
+        # (s8, scale) tuples — the laterals consume them directly below.
+        c2, c3, c4, c5 = (
+            endpoints[k] if isinstance(endpoints[k], tuple) else endpoints[k].astype(d)
+            for k in ("C2", "C3", "C4", "C5")
+        )
 
         def qconv(name, ksize):
             """nn.Conv, or its calibrated int8 twin (param paths unchanged)."""
@@ -50,9 +55,19 @@ class FPN(nn.Module):
                     amax = self.variable(
                         "quant", f"{name}_x_amax", lambda: jnp.zeros((), jnp.float32)
                     )
+                    if isinstance(x, tuple):
+                        # pre-quantized C endpoint: skip the input quantize
+                        # pass (producer out_amax == this edge's running max)
+                        xq, sx = x
+                        return Int8Conv(
+                            self.out_channels, ksize, use_bias=True, dtype=d,
+                            name=name,
+                        )(None, amax.value, xq=xq, sx=sx)
                     return Int8Conv(
                         self.out_channels, ksize, use_bias=True, dtype=d, name=name
                     )(x, amax.value)
+                if isinstance(x, tuple):  # quant off/calib never sees tuples
+                    raise ValueError("s8 endpoint outside int8 mode")
                 return nn.Conv(
                     self.out_channels, ksize, padding="SAME", dtype=d, name=name
                 )(x)

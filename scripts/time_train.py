@@ -36,6 +36,8 @@ def main():
         extra = dict(train_bn=False, train_bn_backbone=False)
     if os.environ.get("MASK_SLIM") == "0":
         extra["mask_train_slim"] = False
+    if os.environ.get("GUARD"):
+        extra["nonfinite_guard"] = os.environ["GUARD"]
     tcfg = MaskRCNNConfig(
         image_shape=(size, size, 3),
         num_classes=81,
@@ -97,6 +99,12 @@ def main():
 
         with no_pallas():
             compiled = jax.jit(step).lower(state, batch_t, rng).compile()
+    elif os.environ.get("DONATE") == "1":
+        # Donate the TrainState: params/opt/batch_stats alias in place, so
+        # XLA drops the defensive copies an undonated 700 MB state forces.
+        compiled = (
+            jax.jit(step, donate_argnums=0).lower(state, batch_t, rng).compile()
+        )
     else:
         compiled = jax.jit(step).lower(state, batch_t, rng).compile()
     print(f"compile {time.perf_counter() - t0:.1f}s", flush=True)

@@ -16,6 +16,15 @@ from maskrcnn_tf2_tpu.config import MaskRCNNConfig
 from maskrcnn_tf2_tpu.models.backbones.resnet import ResNet, RESNET_VARIANTS
 from maskrcnn_tf2_tpu.models.quant import Int8Conv as _Int8Conv
 
+def _dq(v):
+    """Dequantize an (s8, scale) endpoint tuple (resnet.py _qc_on s8 C
+    edges) to f32; pass arrays through."""
+    if isinstance(v, tuple):
+        xq, s = v
+        return np.asarray(xq, np.float32) * np.asarray(s)
+    return np.asarray(v)
+
+
 CFG = MaskRCNNConfig(
     image_shape=(96, 96, 3),
     image_min_dim=96,
@@ -117,7 +126,9 @@ def test_backbone_calib_then_int8_close_to_float():
     int8_net = ResNet(dtype=jnp.float32, quant="int8", **kw)
     q = int8_net.apply({**variables, "quant": quant}, x, train_bn=False)
     for k in ("C2", "C5"):
-        a, b = np.asarray(ref[k]), np.asarray(q[k])
+        # bare-backbone int8 callers may get the (s8, scale) edge form
+        b = _dq(q[k])
+        a = np.asarray(ref[k])
         rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
         assert rel < 0.15, (k, rel)
         assert np.isfinite(b).all()
@@ -336,7 +347,7 @@ def test_quantized_residual_stream_ab(monkeypatch):
     outs = {}
     for setting in ("1", "0"):
         monkeypatch.setenv("MASKRCNN_TPU_INT8_QRES", setting)
-        q = np.asarray(
+        q = _dq(
             int8_net.apply({**variables, "quant": quant}, x, train_bn=False)["C5"]
         )
         rel = np.linalg.norm(ref - q) / (np.linalg.norm(ref) + 1e-9)
@@ -364,6 +375,16 @@ def test_quantized_residual_stream_ab(monkeypatch):
         )["C5"]
     )
     np.testing.assert_array_equal(legacy, outs["0"])
+
+    # s8 C endpoints (MASKRCNN_TPU_INT8_QC): default-on under qres the C5
+    # edge is an (s8, scale) tuple; QC=0 restores the bf16 endpoint while
+    # keeping the intra-stage s8 stream
+    monkeypatch.setenv("MASKRCNN_TPU_INT8_QC", "0")
+    c5_noqc = int8_net.apply({**variables, "quant": quant}, x, train_bn=False)["C5"]
+    assert not isinstance(c5_noqc, tuple)
+    monkeypatch.delenv("MASKRCNN_TPU_INT8_QC")
+    c5_qc = int8_net.apply({**variables, "quant": quant}, x, train_bn=False)["C5"]
+    assert isinstance(c5_qc, tuple) and c5_qc[0].dtype == jnp.int8
 
 
 def test_int8_engine_build_load_roundtrip(tmp_path):
