@@ -102,12 +102,11 @@ def _scene(b):
     return props, gt_ids, gt_boxes, gt_masks
 
 
-def _build_reference_train_chain(feat_shapes, meta_size):
-    A = None
+def _build_reference_train_chain(feat_shapes, meta_size, mask_hw, use_mini):
     rois_in = tf.keras.Input(shape=(N, 4), name="in_rois")
     gt_ids_in = tf.keras.Input(shape=(G,), name="in_gt_ids")
     gt_boxes_in = tf.keras.Input(shape=(G, 4), name="in_gt_boxes")
-    gt_masks_in = tf.keras.Input(shape=(128, 128, G), name="in_gt_masks")
+    gt_masks_in = tf.keras.Input(shape=(*mask_hw, G), name="in_gt_masks")
     meta_in = tf.keras.Input(shape=(meta_size,), name="in_meta")
     feats_in = [
         tf.keras.Input(shape=s[1:], name=f"in_p{i + 2}")
@@ -118,7 +117,7 @@ def _build_reference_train_chain(feat_shapes, meta_size):
         "roi_positive_ratio": CFG.roi_positive_ratio,
         "bbox_std_dev": np.asarray(CFG.bbox_std_dev, np.float32),
         "mask_shape": tuple(CFG.mask_shape),
-        "use_mini_masks": False,
+        "use_mini_masks": use_mini,
         "images_per_gpu": B,
     }
     rois_t, tgt_ids, tgt_deltas, tgt_masks = ref_layers.DetectionTargetLayer(
@@ -150,7 +149,24 @@ def _build_reference_train_chain(feat_shapes, meta_size):
     )
 
 
-def test_whole_training_chain_matches_reference():
+@pytest.mark.parametrize("use_mini", [False, True], ids=["fullmask", "minimask"])
+def test_whole_training_chain_matches_reference(use_mini):
+    """Both GT-mask modes: full-image masks and the reference's COCO-default
+    MINI-MASKS (USE_MINI_MASK, config.py:100-104) — the mini path adds the
+    ROI->GT-box-frame remap (mrcnn_layers.py:935-946) to the chain."""
+    import dataclasses
+
+    global CFG
+    base_cfg = CFG
+    cfg = dataclasses.replace(base_cfg, use_mini_masks=use_mini)
+    CFG = cfg  # _build_reference_train_chain reads module CFG
+    try:
+        _run_chain(cfg, use_mini)
+    finally:
+        CFG = base_cfg
+
+
+def _run_chain(CFG, use_mini):
     model = MaskRCNN(CFG)
     rs = np.random.RandomState(42)
     images = jnp.asarray(rs.rand(B, 128, 128, 3).astype(np.float32) * 255.0)
@@ -172,7 +188,24 @@ def test_whole_training_chain_matches_reference():
     props = jnp.asarray(np.stack([s[0] for s in scenes]))
     gt_ids = jnp.asarray(np.stack([s[1] for s in scenes]))
     gt_boxes = jnp.asarray(np.stack([s[2] for s in scenes]))
-    gt_masks = jnp.asarray(np.stack([s[3] for s in scenes]))
+    if use_mini:
+        # crop each GT mask to its box and resize to the mini shape — BOTH
+        # stacks consume the identical minimized array, exactly as the
+        # reference's data layer feeds DetectionTargetLayer
+        from maskrcnn_tf2_tpu.data.transforms import minimize_mask
+
+        mh, mw = CFG.mini_mask_shape
+        minis = []
+        for s in scenes:
+            bbox_px = (s[2] * 127).astype(np.int32)
+            bbox_px[:, 2:] += 1
+            m = minimize_mask(
+                bbox_px, np.transpose(s[3], (1, 2, 0)), (mh, mw)
+            )  # [mh, mw, G] bool
+            minis.append(np.transpose(m, (2, 0, 1)).astype(np.float32))
+        gt_masks = jnp.asarray(np.stack(minis))
+    else:
+        gt_masks = jnp.asarray(np.stack([s[3] for s in scenes]))
 
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
@@ -225,8 +258,9 @@ def test_whole_training_chain_matches_reference():
     mrcnn_feats = [np.asarray(f) for f in feats[1]]
 
     # --- reference side: one executed Keras model with OUR weights
+    mask_hw = tuple(CFG.mini_mask_shape) if use_mini else (128, 128)
     ref_model = _build_reference_train_chain(
-        [f.shape for f in mrcnn_feats], CFG.meta_size
+        [f.shape for f in mrcnn_feats], CFG.meta_size, mask_hw, use_mini
     )
     WG._inject_weights(ref_model, variables)
     r_rois, r_ids, r_deltas, r_masks, r_logits, r_bbox, r_mask = (
