@@ -69,7 +69,14 @@ class Predictor:
                 compiler_options=copts,
             )
             def _infer(variables, images, meta):
-                out = self.model.apply(variables, images, meta, train=False)
+                # Auto-partitioned trace: keep the Pallas NMS/ROIAlign as
+                # shard_map islands over the data axis (tpu_custom_call has
+                # no SPMD partitioning rule — without the scope this jit
+                # fails to compile on >1 chip; see parallel/gspmd.py).
+                from maskrcnn_tf2_tpu.utils.platform import pallas_spmd
+
+                with pallas_spmd(self.mesh, config.mesh_data_axis):
+                    out = self.model.apply(variables, images, meta, train=False)
                 return out["detections"], _gather_class_masks(out)
 
         else:

@@ -38,9 +38,12 @@ REFERENCE_ROWS = [
 ]
 
 
-def measure_latency(backbone: str, size: int) -> float:
+def measure_latency(backbone: str, size: int, int8: bool = False) -> float:
     """Compile the full inference graph (2 classes, reference benchmark
-    setting) and return best-of-windows ms/image at batch 1."""
+    setting) and return best-of-windows ms/image at batch 1. ``int8=True``
+    calibrates on the benchmark input and times the int8 graph (incl. the
+    s8 residual stream + C endpoints) instead — the TRT-int8 analog
+    (reference inference_optimize.py engines are the fp16 rows)."""
     import jax
     import jax.numpy as jnp
 
@@ -70,6 +73,14 @@ def measure_latency(backbone: str, size: int) -> float:
         lambda r: model.init({"params": r}, images, meta, train=False)
     )(jax.random.PRNGKey(0))
 
+    if int8:
+        from maskrcnn_tf2_tpu.export.quantize import quantize_for_inference
+
+        cfg, variables = quantize_for_inference(
+            cfg, dict(variables), [(images, meta)]
+        )
+        model = MaskRCNN(cfg)
+
     def infer(images, meta):
         out = model.apply(variables, images, meta, train=False)
         return out["detections"], out["mrcnn_masks"]
@@ -95,53 +106,66 @@ def main():
     enable_cache()
     rows = REFERENCE_ROWS[:2] if "--quick" in sys.argv else REFERENCE_ROWS
 
+    with_int8 = "--no-int8" not in sys.argv
+
     results = []
     lines = [
-        "# Batch-1 latency: this framework (1x TPU v5e, bf16) vs the "
+        "# Batch-1 latency: this framework (1x TPU v5e, bf16 + int8) vs the "
         "reference's published TensorRT fp16 engines",
         "",
         "The reference's headline benchmark is this exact table "
         "(README.md:460-550): trtexec mean GPU compute latency, batch 1, "
         "2 classes. Same configs, same batch, measured end-to-end "
         "(preprocessing-normalize + backbone + FPN + RPN + proposal + "
-        "ROIAlign + heads + detection NMS + masks) on one chip.",
+        "ROIAlign + heads + detection NMS + masks) on one chip. The int8 "
+        "column is the TRT-int8 analog (export/quantize.py PTQ incl. the s8 "
+        "residual stream + C endpoints); ResNets gain, the depthwise "
+        "families are neutral-to-negative (measured; models/quant.py "
+        "guidance says prefer bf16 there).",
         "",
-        "| Backbone | Input | TPU v5e bf16 (ms) | RTX2060 TRT fp16 (ms) | "
-        "speedup | Jetson AGX fp16 (ms) | speedup |",
-        "|---|---|---|---|---|---|---|",
+        "| Backbone | Input | TPU bf16 (ms) | TPU int8 (ms) | RTX2060 TRT "
+        "fp16 (ms) | best speedup | Jetson AGX fp16 (ms) | speedup |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for backbone, size, rtx_ms, jet_ms in rows:
         t0 = time.time()
         ms = measure_latency(backbone, size)
+        ms_q = measure_latency(backbone, size, int8=True) if with_int8 else None
+        best_ms = min(ms, ms_q) if ms_q else ms
         print(
-            f"{backbone}@{size}: {ms:.2f} ms  (rtx2060 {rtx_ms} ms -> "
-            f"{rtx_ms / ms:.2f}x)  [measured in {time.time() - t0:.0f}s]",
+            f"{backbone}@{size}: bf16 {ms:.2f} ms"
+            + (f", int8 {ms_q:.2f} ms" if ms_q else "")
+            + f"  (rtx2060 {rtx_ms} ms -> {rtx_ms / best_ms:.2f}x)"
+            f"  [measured in {time.time() - t0:.0f}s]",
             flush=True,
         )
-        jet_txt = f"{jet_ms:.1f} | {jet_ms / ms:.2f}x" if jet_ms else "— | —"
+        jet_txt = f"{jet_ms:.1f} | {jet_ms / best_ms:.2f}x" if jet_ms else "— | —"
+        q_txt = f"{ms_q:.2f}" if ms_q else "—"
         lines.append(
-            f"| {backbone} | {size}² | **{ms:.2f}** | {rtx_ms:.2f} | "
-            f"**{rtx_ms / ms:.2f}x** | {jet_txt} |"
+            f"| {backbone} | {size}² | **{ms:.2f}** | {q_txt} | {rtx_ms:.2f} | "
+            f"**{rtx_ms / best_ms:.2f}x** | {jet_txt} |"
         )
         results.append(
             {
                 "backbone": backbone,
                 "size": size,
                 "tpu_ms": round(ms, 3),
+                "tpu_int8_ms": round(ms_q, 3) if ms_q else None,
                 "rtx2060_ms": rtx_ms,
-                "speedup_rtx2060": round(rtx_ms / ms, 3),
+                "speedup_rtx2060": round(rtx_ms / best_ms, 3),
                 "jetson_ms": jet_ms,
-                "speedup_jetson": round(jet_ms / ms, 3) if jet_ms else None,
+                "speedup_jetson": round(jet_ms / best_ms, 3) if jet_ms else None,
             }
         )
 
     geo = float(np.exp(np.mean([np.log(r["speedup_rtx2060"]) for r in results])))
     lines += [
         "",
-        f"Geometric-mean speedup vs RTX2060 TRT fp16: **{geo:.2f}x** "
-        f"across {len(results)} published configs.",
+        f"Geometric-mean speedup vs RTX2060 TRT fp16 (best of bf16/int8 per "
+        f"row): **{geo:.2f}x** across {len(results)} published configs.",
         "",
-        "Reproduce: `python scripts/bench_latency_table.py`.",
+        "Reproduce: `python scripts/bench_latency_table.py` "
+        "(`--no-int8` for the bf16-only sweep).",
     ]
     out_path = os.path.join(os.path.dirname(__file__), "..", "BENCH_LATENCY_TABLE.md")
     with open(out_path, "w") as f:

@@ -93,3 +93,39 @@ def test_gspmd_step_keeps_interpret_kernels(monkeypatch):
         rtol=2e-4,
         atol=2e-5,
     )
+
+
+def test_dp_predictor_keeps_interpret_kernels(monkeypatch):
+    """The DP serving path (Predictor(data_parallel=True)) jits with
+    in_shardings — an auto-partitioned trace that would FAIL to compile on
+    >1 chip with naked Pallas custom calls. The pallas_spmd scope inside
+    its _infer keeps the kernels as islands; CPU proxy: interpret-mode
+    kernels on the virtual mesh, detections equal to the single-device
+    predictor's."""
+    import numpy as np
+
+    from maskrcnn_tf2_tpu.predictor import Predictor
+    from maskrcnn_tf2_tpu.train.train_step import create_train_state
+
+    monkeypatch.setenv("MASKRCNN_TPU_PALLAS", "interpret")
+    monkeypatch.delenv("MASKRCNN_TPU_NMS", raising=False)
+    monkeypatch.delenv("MASKRCNN_TPU_ROIALIGN", raising=False)
+
+    state = create_train_state(CFG, jax.random.PRNGKey(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    rs = np.random.RandomState(3)
+    imgs = [
+        (rs.rand(60, 64, 3) * 255).astype(np.uint8)
+        for _ in range(len(jax.devices()))
+    ]
+
+    single = Predictor(CFG, variables)
+    dp = Predictor(CFG, variables, data_parallel=True)
+    assert dp.num_devices == len(jax.devices())
+    r1 = single.detect(imgs)
+    r2 = dp.detect(imgs)
+    assert len(r1) == len(r2) == len(imgs)
+    for a, b in zip(r1, r2):
+        np.testing.assert_allclose(a["rois"], b["rois"], rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(a["class_ids"], b["class_ids"])
+        np.testing.assert_allclose(a["scores"], b["scores"], rtol=1e-4, atol=1e-5)
