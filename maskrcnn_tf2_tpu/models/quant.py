@@ -120,7 +120,11 @@ def conv_site(
     Depthwise sites therefore stay bf16 in int8 mode by default (never
     worse; A/B re-measure with MASKRCNN_TPU_INT8_DW=1). All backbones stay
     AP-neutral (top-5 box delta 0.0); prefer bf16 outright for MobileNet/
-    EfficientNet serving.
+    EfficientNet serving. Int8 is a BATCH-throughput mode: at batch 1 it
+    loses on every latency-table config (+~17 ms @1024², +~5 ms @512²,
+    backbone-independent — quantize/dequant fusions are occupancy-bound
+    with one image; BENCH_LATENCY_TABLE.md r5); use bf16 for
+    latency-bound b1 serving.
     """
     if quant == "calib":
         # record for EVERY site (incl. depthwise) so one calibration

@@ -119,9 +119,11 @@ def main():
         "(preprocessing-normalize + backbone + FPN + RPN + proposal + "
         "ROIAlign + heads + detection NMS + masks) on one chip. The int8 "
         "column is the TRT-int8 analog (export/quantize.py PTQ incl. the s8 "
-        "residual stream + C endpoints); ResNets gain, the depthwise "
-        "families are neutral-to-negative (measured; models/quant.py "
-        "guidance says prefer bf16 there).",
+        "residual stream + C endpoints). Measured finding: at BATCH 1 int8 "
+        "LOSES on every config (+~17 ms at 1024², +~5 ms at 512² — the "
+        "quantize/dequant fusions are occupancy-bound with one image); int8 "
+        "is a batch-throughput play (1.30x bf16 at b32, bench_int8.py). "
+        "bf16 therefore carries every best-speedup cell.",
         "",
         "| Backbone | Input | TPU bf16 (ms) | TPU int8 (ms) | RTX2060 TRT "
         "fp16 (ms) | best speedup | Jetson AGX fp16 (ms) | speedup |",
