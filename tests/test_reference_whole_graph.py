@@ -304,3 +304,66 @@ def test_whole_inference_graph_matches_reference(stacks):
         )
     # the scenario must keep exercising the degenerate-box edge case
     assert n_degenerate >= 1, "seed drifted: no zero-area detection in scene"
+
+
+def test_rpn_head_matches_reference_shared_model():
+    """The reference's RPN as ONE executed Keras model shared across levels
+    (build_rpn_model, mrcnn_layers.py:1096-1121, applied per level exactly as
+    model.py loops P2..P6), fed identical feature maps and OUR shared-conv +
+    prediction-conv kernels: logits, probs, and deltas must match our fused
+    single-pass RPNHead (models/rpn.py folds the two 1x1 prediction convs
+    into one pass over the shared feature — numerics must be identical).
+
+    The reference's RPN convs are bias-free (use_bias=False, 'for onnx
+    convertion', mrcnn_layers.py:1054); our convs carry zero-initialized
+    biases, so at init the two parameterizations coincide exactly — the
+    test asserts the zero-bias invariant it relies on.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from maskrcnn_tf2_tpu.models.rpn import RPNHead
+
+    rs = np.random.RandomState(11)
+    depth, k = 64, 3
+    feats = [
+        jnp.asarray(rs.randn(2, h, w, depth).astype(np.float32))
+        for h, w in [(16, 16), (8, 8), (4, 4), (2, 2), (1, 1)]
+    ]
+    # rpn_graph hardcodes 512 shared channels (mrcnn_layers.py:1064); ours
+    # is parameterized — use the reference's own width
+    head = RPNHead(anchors_per_location=k, conv_channels=512, dtype=jnp.float32)
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    p = jax.tree_util.tree_map(np.asarray, dict(variables["params"]))
+    for name in ("rpn_conv_shared", "rpn_class_raw", "rpn_bbox_pred"):
+        assert not np.any(p[name]["bias"]), "init bias must be zero (see doc)"
+    logits, probs, bbox = head.apply(variables, feats)
+
+    # reference shared model — one Keras model, applied to every level
+    tf_feats = [tf.constant(np.asarray(f)) for f in feats]
+    rpn_model = ref_layers.build_rpn_model(
+        anchor_stride=1, anchors_per_location=k, depth=depth,
+        training=False, frozen=False,
+    )
+    rpn_model.get_layer("rpn_conv_shared").set_weights(
+        [p["rpn_conv_shared"]["kernel"]]
+    )
+    rpn_model.get_layer("rpn_class_raw").set_weights(
+        [p["rpn_class_raw"]["kernel"]]
+    )
+    rpn_model.get_layer("rpn_bbox_pred").set_weights(
+        [p["rpn_bbox_pred"]["kernel"]]
+    )
+    r_logits, r_probs, r_bbox = [], [], []
+    for f in tf_feats:
+        lo, pr, bb = rpn_model(f)
+        r_logits.append(np.asarray(lo))
+        r_probs.append(np.asarray(pr))
+        r_bbox.append(np.asarray(bb))
+    r_logits = np.concatenate(r_logits, axis=1)
+    r_probs = np.concatenate(r_probs, axis=1)
+    r_bbox = np.concatenate(r_bbox, axis=1)
+
+    np.testing.assert_allclose(np.asarray(logits), r_logits, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(probs), r_probs, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(bbox), r_bbox, rtol=1e-4, atol=1e-5)
