@@ -18,7 +18,9 @@ from maskrcnn_tf2_tpu.utils.compile_cache import enable as enable_cache
 
 
 def main():
-    batch, size, backbone = 32, 1024, "resnet101"
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    size = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    backbone = sys.argv[3] if len(sys.argv) > 3 else "resnet101"
     enable_cache()
     cfg = MaskRCNNConfig(
         image_shape=(size, size, 3), num_classes=2, backbone=backbone,
